@@ -1,0 +1,358 @@
+"""Transformer primitives: attention, MLP, LayerScale, DropPath, blocks.
+
+Capability parity with the reference UniCeption primitives
+(``uniception/models/utils/transformer_blocks.py:50-994``): self/cross
+attention blocks with optional qk-norm, LayerScale, DropPath,
+scalable-softmax and entropy scaling for length extrapolation, and an
+optional custom positional encoding (RoPE) hook applied to q/k.
+
+TPU-first design notes:
+  - compute dtype is a module attribute (bf16 end-to-end under jit; params
+    stay fp32) — no autocast machinery;
+  - attention routes through ``mapanything_tpu.ops.attention.sdpa`` which
+    dispatches to the Pallas flash kernel on TPU;
+  - no data-dependent control flow — dropout/droppath are rate-0 static
+    no-ops when disabled.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from mapanything_tpu.ops.attention import (
+    apply_entropy_scaling,
+    apply_scalable_softmax,
+    sdpa,
+)
+
+Dtype = jnp.dtype
+default_kernel_init = nn.initializers.xavier_uniform()
+
+
+class Mlp(nn.Module):
+    """Two-layer MLP with GELU (reference transformer_blocks.py Mlp)."""
+
+    hidden_features: int
+    out_features: int
+    act: Callable = nn.gelu
+    drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(
+            self.hidden_features,
+            dtype=self.dtype,
+            kernel_init=default_kernel_init,
+            name="fc1",
+        )(x)
+        x = self.act(x)
+        if self.drop > 0.0:
+            x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(
+            self.out_features,
+            dtype=self.dtype,
+            kernel_init=default_kernel_init,
+            name="fc2",
+        )(x)
+        if self.drop > 0.0:
+            x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class LayerScale(nn.Module):
+    """Per-channel learnable residual scaling (reference :50)."""
+
+    dim: int
+    init_values: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param(
+            "gamma", nn.initializers.constant(self.init_values), (self.dim,)
+        )
+        return x * gamma.astype(x.dtype)
+
+
+class DropPath(nn.Module):
+    """Stochastic depth per sample (identity at rate 0 / eval)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("droppath")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jnp.floor(keep + jnp.asarray(
+            nn.initializers.uniform(1.0)(rng, shape), x.dtype
+        ))
+        return x / keep * mask
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention (reference transformer_blocks.py:91).
+
+    Supports qk-norm, scalable-softmax / entropy scaling (query-side
+    multipliers, :186-197) and an optional rope callable applied to q and k
+    given token positions.
+    """
+
+    dim: int
+    num_heads: int = 8
+    qkv_bias: bool = False
+    qk_norm: bool = False
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    rope: Optional[Callable] = None
+    use_scalable_softmax: bool = False
+    use_entropy_scaling: bool = False
+    base_token_count_for_entropy_scaling: int = 444
+    entropy_scaling_growth_factor: float = 1.4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, xpos=None, deterministic: bool = True):
+        B, N, C = x.shape
+        head_dim = self.dim // self.num_heads
+        qkv = nn.Dense(
+            self.dim * 3,
+            use_bias=self.qkv_bias,
+            dtype=self.dtype,
+            kernel_init=default_kernel_init,
+            name="qkv",
+        )(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
+
+        if self.qk_norm:
+            q = nn.LayerNorm(dtype=self.dtype, name="q_norm")(q)
+            k = nn.LayerNorm(dtype=self.dtype, name="k_norm")(k)
+
+        if self.rope is not None:
+            assert xpos is not None, "xpos required when using rope"
+            q = self.rope(q, xpos)
+            k = self.rope(k, xpos)
+
+        if self.use_scalable_softmax:
+            q = apply_scalable_softmax(q, N)
+        if self.use_entropy_scaling:
+            q = apply_entropy_scaling(
+                q,
+                N,
+                self.base_token_count_for_entropy_scaling,
+                self.entropy_scaling_growth_factor,
+            )
+
+        out = sdpa(q, k, v, scale=head_dim**-0.5)
+        out = out.reshape(B, N, self.dim)
+        out = nn.Dense(
+            self.dim, dtype=self.dtype, kernel_init=default_kernel_init, name="proj"
+        )(out)
+        if self.proj_drop > 0.0:
+            out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+class CrossAttention(nn.Module):
+    """Multi-head cross-attention (reference transformer_blocks.py:216)."""
+
+    dim: int
+    num_heads: int = 8
+    qkv_bias: bool = False
+    qk_norm: bool = False
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    rope: Optional[Callable] = None
+    use_scalable_softmax: bool = False
+    use_entropy_scaling: bool = False
+    base_token_count_for_entropy_scaling: int = 444
+    entropy_scaling_growth_factor: float = 1.4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, key, value, qpos=None, kpos=None, deterministic=True):
+        B, Nq, C = query.shape
+        Nk = key.shape[1]
+        head_dim = self.dim // self.num_heads
+
+        q = nn.Dense(
+            self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+            kernel_init=default_kernel_init, name="projq",
+        )(query).reshape(B, Nq, self.num_heads, head_dim)
+        k = nn.Dense(
+            self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+            kernel_init=default_kernel_init, name="projk",
+        )(key).reshape(B, Nk, self.num_heads, head_dim)
+        v = nn.Dense(
+            self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+            kernel_init=default_kernel_init, name="projv",
+        )(value).reshape(B, Nk, self.num_heads, head_dim)
+
+        if self.qk_norm:
+            q = nn.LayerNorm(dtype=self.dtype, name="q_norm")(q)
+            k = nn.LayerNorm(dtype=self.dtype, name="k_norm")(k)
+
+        if self.rope is not None:
+            if qpos is not None:
+                q = self.rope(q, qpos)
+            if kpos is not None:
+                k = self.rope(k, kpos)
+
+        if self.use_scalable_softmax:
+            q = apply_scalable_softmax(q, Nk)
+        if self.use_entropy_scaling:
+            q = apply_entropy_scaling(
+                q,
+                Nk,
+                self.base_token_count_for_entropy_scaling,
+                self.entropy_scaling_growth_factor,
+            )
+
+        out = sdpa(q, k, v, scale=head_dim**-0.5)
+        out = out.reshape(B, Nq, self.dim)
+        out = nn.Dense(
+            self.dim, dtype=self.dtype, kernel_init=default_kernel_init, name="proj"
+        )(out)
+        if self.proj_drop > 0.0:
+            out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+class SelfAttentionBlock(nn.Module):
+    """Pre-norm self-attention transformer block (reference :370)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_norm: bool = False
+    proj_drop: float = 0.0
+    attn_drop: float = 0.0
+    init_values: Optional[float] = None
+    drop_path: float = 0.0
+    rope: Optional[Callable] = None
+    use_scalable_softmax: bool = False
+    use_entropy_scaling: bool = False
+    base_token_count_for_entropy_scaling: int = 444
+    entropy_scaling_growth_factor: float = 1.4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, xpos=None, deterministic: bool = True):
+        ls1 = (
+            LayerScale(self.dim, self.init_values, name="ls1")
+            if self.init_values is not None
+            else (lambda y: y)
+        )
+        ls2 = (
+            LayerScale(self.dim, self.init_values, name="ls2")
+            if self.init_values is not None
+            else (lambda y: y)
+        )
+        dp = DropPath(self.drop_path)
+
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        y = Attention(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            qk_norm=self.qk_norm,
+            attn_drop=self.attn_drop,
+            proj_drop=self.proj_drop,
+            rope=self.rope,
+            use_scalable_softmax=self.use_scalable_softmax,
+            use_entropy_scaling=self.use_entropy_scaling,
+            base_token_count_for_entropy_scaling=self.base_token_count_for_entropy_scaling,
+            entropy_scaling_growth_factor=self.entropy_scaling_growth_factor,
+            dtype=self.dtype,
+            name="attn",
+        )(y, xpos, deterministic)
+        x = x + dp(ls1(y), deterministic)
+
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = Mlp(
+            hidden_features=int(self.dim * self.mlp_ratio),
+            out_features=self.dim,
+            drop=self.proj_drop,
+            dtype=self.dtype,
+            name="mlp",
+        )(y, deterministic)
+        return x + dp(ls2(y), deterministic)
+
+
+class CrossAttentionBlock(nn.Module):
+    """Self-attn + cross-attn + MLP decoder block (reference :472)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_norm: bool = False
+    proj_drop: float = 0.0
+    attn_drop: float = 0.0
+    init_values: Optional[float] = None
+    drop_path: float = 0.0
+    norm_mem: bool = True
+    rope: Optional[Callable] = None
+    use_scalable_softmax: bool = False
+    use_entropy_scaling: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, xpos=None, cpos=None, deterministic=True):
+        def make_ls(name):
+            return (
+                LayerScale(self.dim, self.init_values, name=name)
+                if self.init_values is not None
+                else (lambda y: y)
+            )
+
+        dp = DropPath(self.drop_path)
+
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        y = Attention(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            qk_norm=self.qk_norm,
+            rope=self.rope,
+            use_scalable_softmax=self.use_scalable_softmax,
+            use_entropy_scaling=self.use_entropy_scaling,
+            dtype=self.dtype,
+            name="attn",
+        )(y, xpos, deterministic)
+        x = x + dp(make_ls("ls1")(y), deterministic)
+
+        mem = (
+            nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm_mem")(context)
+            if self.norm_mem
+            else context
+        )
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = CrossAttention(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            qk_norm=self.qk_norm,
+            rope=self.rope,
+            use_scalable_softmax=self.use_scalable_softmax,
+            use_entropy_scaling=self.use_entropy_scaling,
+            dtype=self.dtype,
+            name="cross_attn",
+        )(y, mem, mem, xpos, cpos, deterministic)
+        x = x + dp(make_ls("ls2")(y), deterministic)
+
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm3")(x)
+        y = Mlp(
+            hidden_features=int(self.dim * self.mlp_ratio),
+            out_features=self.dim,
+            dtype=self.dtype,
+            name="mlp",
+        )(y, deterministic)
+        return x + dp(make_ls("ls3")(y), deterministic)

@@ -1,0 +1,150 @@
+"""DINOv2-style ViT image encoder, the production image backbone.
+
+Capability parity with the reference DINOv2 wrapper
+(``uniception/models/encoders/dinov2.py:15,181``) and the underlying
+vendored DINOv2 ViT (patch embed + cls token + interpolated pos embed +
+pre-norm blocks with LayerScale + final norm, patch tokens out).
+
+TPU-first notes:
+  - channel-last (B, H, W, C) feature maps throughout — XLA's preferred
+    layout; the patch embed is a strided conv that lowers onto the MXU;
+  - weights are importable from torch DINOv2 checkpoints via
+    ``mapanything_tpu.utils.torch_convert``;
+  - the intermediate-feature-returner variant is a flag (``return_layers``),
+    not a subclass.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mapanything_tpu.models.blocks import SelfAttentionBlock
+
+VIT_SIZES = {
+    # name: (embed_dim, depth, num_heads)
+    "small": (384, 12, 6),
+    "base": (768, 12, 12),
+    "large": (1024, 24, 16),
+    "giant": (1536, 40, 24),
+}
+
+
+def interpolate_pos_embed(
+    pos_embed: jnp.ndarray, h: int, w: int, antialias: bool = True
+) -> jnp.ndarray:
+    """Bicubic-resize a (1, N0, C) grid pos-embed to (1, h*w, C).
+
+    Mirrors DINOv2's ``interpolate_pos_encoding`` (square source grid).
+    """
+    n0 = pos_embed.shape[1]
+    g0 = int(round(n0**0.5))
+    if g0 * g0 != n0:
+        raise ValueError(f"pos_embed length {n0} is not a square grid")
+    if (g0, g0) == (h, w):
+        return pos_embed
+    c = pos_embed.shape[-1]
+    grid = pos_embed.reshape(1, g0, g0, c)
+    resized = jax.image.resize(grid, (1, h, w, c), method="bicubic", antialias=antialias)
+    return resized.reshape(1, h * w, c)
+
+
+class ViTEncoder(nn.Module):
+    """Plain ViT feature extractor with cls token and learned pos embed.
+
+    Returns normalized patch tokens as (B, H/P, W/P, C); optionally also the
+    outputs of ``return_layers`` (the IFR variant,
+    reference ``dinov2.py:181``, ``intermediate_feature_return.py:19``).
+    """
+
+    size: str = "large"
+    patch_size: int = 14
+    pos_embed_grid: int = 37  # 518 / 14; DINOv2's training grid
+    init_values: float = 1e-5  # LayerScale
+    num_register_tokens: int = 0
+    dtype: jnp.dtype = jnp.float32
+    return_layers: Optional[Sequence[int]] = None
+    remat: bool = False
+
+    @property
+    def embed_dim(self) -> int:
+        return VIT_SIZES[self.size][0]
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, deterministic: bool = True):
+        """
+        Args:
+            images: (B, H, W, 3) normalized images, H, W divisible by patch.
+
+        Returns:
+            (B, h, w, C) final patch features, or (list of intermediates,
+            final) when ``return_layers`` is set.
+        """
+        embed_dim, depth, num_heads = VIT_SIZES[self.size]
+        B, H, W, _ = images.shape
+        assert H % self.patch_size == 0 and W % self.patch_size == 0
+        h, w = H // self.patch_size, W // self.patch_size
+
+        x = nn.Conv(
+            embed_dim,
+            (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            dtype=self.dtype,
+            name="patch_embed",
+        )(images.astype(self.dtype))
+        x = x.reshape(B, h * w, embed_dim)
+
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.truncated_normal(0.02),
+            (1, self.pos_embed_grid * self.pos_embed_grid + 1, embed_dim),
+        )
+        cls_pe, patch_pe = pos_embed[:, :1], pos_embed[:, 1:]
+        patch_pe = interpolate_pos_embed(patch_pe, h, w)
+        x = x + patch_pe.astype(self.dtype)
+
+        cls_token = self.param(
+            "cls_token", nn.initializers.truncated_normal(0.02), (1, 1, embed_dim)
+        )
+        tokens = [jnp.broadcast_to(cls_token + cls_pe, (B, 1, embed_dim)).astype(self.dtype)]
+        if self.num_register_tokens:
+            reg = self.param(
+                "register_tokens",
+                nn.initializers.truncated_normal(0.02),
+                (1, self.num_register_tokens, embed_dim),
+            )
+            tokens.append(
+                jnp.broadcast_to(reg, (B, self.num_register_tokens, embed_dim)).astype(self.dtype)
+            )
+        tokens.append(x)
+        x = jnp.concatenate(tokens, axis=1)
+        n_prefix = 1 + self.num_register_tokens
+
+        return_set = set(self.return_layers or ())
+        intermediates = []
+        block_cls = SelfAttentionBlock
+        if self.remat:
+            block_cls = nn.remat(SelfAttentionBlock, static_argnums=(2,))
+        for i in range(depth):
+            x = block_cls(
+                dim=embed_dim,
+                num_heads=num_heads,
+                mlp_ratio=4.0,
+                qkv_bias=True,
+                init_values=self.init_values,
+                dtype=self.dtype,
+                name=f"block_{i}",
+            )(x, None, deterministic)
+            if i in return_set:
+                feats = x[:, n_prefix:].reshape(B, h, w, embed_dim)
+                intermediates.append(feats)
+
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        patch_tokens = x[:, n_prefix:].reshape(B, h, w, embed_dim)
+
+        if self.return_layers is not None:
+            return intermediates, patch_tokens
+        return patch_tokens

@@ -1,0 +1,178 @@
+"""DPT dense prediction head: multi-level reassembly + fusion + regression.
+
+Capability parity with ``uniception/models/prediction_heads/dpt.py:32,238``
+and the vendored fusion blocks (``uniception/models/libs/croco/dpt_block.py``):
+4 hooked feature levels are projected, resampled to a 4x/2x/1x/0.5x pyramid,
+fused coarse-to-fine with residual conv units + 2x bilinear upsampling
+(align_corners=True), then conv-decoded to output channels at full image
+resolution.
+
+Channel-last layout; every conv lowers onto the MXU, the bilinear resizes
+are XLA gather-free `jax.image.resize` calls.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def _resize_bilinear_align_corners(x: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """Bilinear resize matching torch's align_corners=True semantics.
+
+    jax.image.resize implements half-pixel-centers (align_corners=False);
+    align_corners=True maps corner pixels exactly, which we reproduce with a
+    scale-and-translate gather.
+    """
+    h, w = x.shape[-3:-1]
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x
+    scale_h = (h - 1) / (oh - 1) if oh > 1 else 0.0
+    scale_w = (w - 1) / (ow - 1) if ow > 1 else 0.0
+    ys = jnp.arange(oh) * scale_h
+    xs = jnp.arange(ow) * scale_w
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    wy = (ys - y0).astype(x.dtype)
+    wx = (xs - x0).astype(x.dtype)
+
+    top = x[..., y0, :, :]
+    bot = x[..., y1, :, :]
+    row = top * (1 - wy)[:, None, None] + bot * wy[:, None, None]
+    left = row[..., :, x0, :]
+    right = row[..., :, x1, :]
+    return left * (1 - wx)[None, :, None] + right * wx[None, :, None]
+
+
+class ResidualConvUnit(nn.Module):
+    """Pre-activation residual conv unit (reference dpt_block.py:114)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out = nn.relu(x)
+        out = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype, name="conv1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype, name="conv2")(out)
+        return out + x
+
+
+class FeatureFusionBlock(nn.Module):
+    """Fusion block: optional skip merge, refine, 2x upsample, 1x1 out conv.
+
+    Parity: ``FeatureFusionBlock_custom`` (reference dpt_block.py:180) with
+    width_ratio=1; ``has_skip=False`` mirrors refinenet4 whose resConfUnit1
+    is deleted.
+    """
+
+    features: int
+    has_skip: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip=None):
+        out = x
+        if skip is not None:
+            res = ResidualConvUnit(self.features, self.dtype, name="res_conf_unit1")(skip)
+            out = out + res
+        out = ResidualConvUnit(self.features, self.dtype, name="res_conf_unit2")(out)
+        oh, ow = out.shape[-3] * 2, out.shape[-2] * 2
+        out = _resize_bilinear_align_corners(out, (oh, ow))
+        out = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="out_conv")(out)
+        return out
+
+
+class DPTFeature(nn.Module):
+    """4-level reassemble + fusion -> 8x-upsampled feature map.
+
+    Input: list of 4 feature maps (B, h, w, C_i) at the transformer patch
+    resolution. Output: (B, 8h, 8w, feature_dim).
+    """
+
+    hooks: Sequence[int] = (0, 1, 2, 3)
+    input_feature_dims: Sequence[int] = (1024, 768, 768, 768)
+    layer_dims: Sequence[int] = (96, 192, 384, 768)
+    feature_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, list_features: Sequence[jnp.ndarray]) -> jnp.ndarray:
+        layers = [list_features[h] for h in self.hooks]
+        assert len(layers) == 4
+
+        processed = []
+        for idx, feat in enumerate(layers):
+            feat = feat.astype(self.dtype)
+            # 1x1 projection to the pyramid dim.
+            y = nn.Conv(
+                self.layer_dims[idx], (1, 1), dtype=self.dtype, name=f"act_{idx}_proj"
+            )(feat)
+            # Resample: 4x, 2x, 1x, 0.5x.
+            if idx == 0:
+                y = nn.ConvTranspose(
+                    self.layer_dims[0], (4, 4), strides=(4, 4), dtype=self.dtype,
+                    name="act_0_up4",
+                )(y)
+            elif idx == 1:
+                y = nn.ConvTranspose(
+                    self.layer_dims[1], (2, 2), strides=(2, 2), dtype=self.dtype,
+                    name="act_1_up2",
+                )(y)
+            elif idx == 3:
+                y = nn.Conv(
+                    self.layer_dims[3], (3, 3), strides=(2, 2), padding=1,
+                    dtype=self.dtype, name="act_3_down2",
+                )(y)
+            # Project to common fusion dim (make_scratch layer_rn, bias-free).
+            y = nn.Conv(
+                self.feature_dim, (3, 3), padding=1, use_bias=False,
+                dtype=self.dtype, name=f"layer_{idx}_rn",
+            )(y)
+            processed.append(y)
+
+        path_4 = FeatureFusionBlock(
+            self.feature_dim, has_skip=False, dtype=self.dtype, name="refinenet4"
+        )(processed[3])
+        # Crop to match level-3 spatial dims (odd input sizes).
+        path_4 = path_4[..., : processed[2].shape[-3], : processed[2].shape[-2], :]
+        path_3 = FeatureFusionBlock(self.feature_dim, dtype=self.dtype, name="refinenet3")(
+            path_4, processed[2]
+        )
+        path_2 = FeatureFusionBlock(self.feature_dim, dtype=self.dtype, name="refinenet2")(
+            path_3, processed[1]
+        )
+        path_1 = FeatureFusionBlock(self.feature_dim, dtype=self.dtype, name="refinenet1")(
+            path_2, processed[0]
+        )
+        return path_1
+
+
+class DPTRegressionProcessor(nn.Module):
+    """Decode the 8x feature map to ``output_dim`` channels at full res.
+
+    Parity: reference dpt.py:238. conv1 -> bilinear(align_corners=True) to
+    the image shape -> conv/relu/conv.
+    """
+
+    output_dim: int
+    hidden_dims: Optional[Sequence[int]] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray, output_shape_hw) -> jnp.ndarray:
+        c = features.shape[-1]
+        hidden = tuple(self.hidden_dims) if self.hidden_dims else (c // 2, c // 2)
+        x = nn.Conv(hidden[0], (3, 3), padding=1, dtype=self.dtype, name="conv1")(features)
+        x = _resize_bilinear_align_corners(x, output_shape_hw)
+        x = nn.Conv(hidden[1], (3, 3), padding=1, dtype=self.dtype, name="conv2_0")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.output_dim, (1, 1), dtype=self.dtype, name="conv2_1")(x)
+        return x

@@ -1,0 +1,74 @@
+"""Fused scaled-dot-product attention entry point.
+
+This is the single hot kernel of the whole framework (the reference's
+``F.scaled_dot_product_attention``, transformer_blocks.py:199,328). On TPU we
+route through either:
+
+  - ``implementation="pallas"``: our Pallas flash-attention kernel
+    (``mapanything_tpu.ops.flash_attention``) — online-softmax tiling in VMEM,
+    MXU matmuls, no O(N^2) HBM traffic; or
+  - ``implementation="xla"``: ``jax.nn.dot_product_attention`` — XLA's fused
+    attention, used as fallback on CPU/for tiny shapes and as the reference
+    for kernel unit tests.
+
+Length-generalization query scalings (scalable-softmax / entropy scaling,
+reference transformer_blocks.py:186-197) are pure query-side multipliers, so
+they compose with any backend.
+
+Shapes follow the JAX convention (B, T, H, D) — batch, tokens, heads, head_dim.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def apply_scalable_softmax(q: jnp.ndarray, num_tokens: int) -> jnp.ndarray:
+    """Scalable-Softmax (SSMax, arXiv:2501.19399): scale q by log(N)."""
+    return q * math.log(num_tokens)
+
+
+def apply_entropy_scaling(
+    q: jnp.ndarray,
+    num_tokens: int,
+    base_token_count: int = 444,
+    growth_factor: float = 1.4,
+) -> jnp.ndarray:
+    """Entropy-invariant scaling (arXiv:2502.07785): q *= sqrt(g*logN / logN0)."""
+    return q * math.sqrt(growth_factor * math.log(num_tokens) / math.log(base_token_count))
+
+
+def sdpa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    mask: Optional[jnp.ndarray] = None,
+    implementation: str = "auto",
+) -> jnp.ndarray:
+    """Scaled dot-product attention over (B, T, H, D) tensors.
+
+    Args:
+        q: (B, Tq, H, D); k/v: (B, Tk, H, D).
+        scale: softmax temperature; default 1/sqrt(D).
+        mask: optional boolean (B, 1|H, Tq, Tk) mask (True = attend).
+        implementation: "auto" | "pallas" | "xla".
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+
+    if implementation == "auto":
+        on_tpu = jax.default_backend() not in ("cpu",)
+        use_pallas = on_tpu and mask is None and q.shape[1] >= 1024
+        implementation = "pallas" if use_pallas else "xla"
+
+    if implementation == "pallas":
+        from mapanything_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale)
+
+    return jax.nn.dot_product_attention(q, k, v, scale=scale, mask=mask)

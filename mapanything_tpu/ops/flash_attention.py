@@ -1,0 +1,321 @@
+"""Pallas TPU flash attention (forward + backward) with online softmax.
+
+This replaces the reference's single hot kernel —
+``F.scaled_dot_product_attention`` (CUDA flash attention,
+``uniception/models/utils/transformer_blocks.py:199,328``) — with a
+TPU-native tiled kernel:
+
+  - O(N) HBM traffic: q/k/v stream through VMEM in (block_q, block_k)
+    tiles; the score matrix never materializes in HBM;
+  - MXU matmuls with fp32 accumulation (``preferred_element_type``);
+  - 3D grid (batch*heads, q-blocks, k-blocks) with the k dimension
+    "arbitrary" (sequential) so the running max / denominator / output
+    accumulator live in VMEM scratch across k steps;
+  - backward = two Pallas kernels (dq; dk+dv) using the saved logsumexp —
+    the standard FlashAttention-2 recomputation scheme.
+
+Sequence lengths are padded to block multiples; padding columns are masked
+with -inf via iota comparison against the static true length (shapes are
+static under jit). Padding/reshape live outside the custom_vjp core so its
+residuals are pure arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
+NEG_INF = -1e30
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_scr, l_scr,
+                *, scale, kv_len, block_k):
+    j = pl.program_id(2)
+    num_k = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc[:] = jnp.zeros_like(acc)
+
+    q = q_ref[0]  # (BQ, D)
+    k = k_ref[0]  # (BK, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (BQ, BK)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+    s = jnp.where(col < kv_len, s, NEG_INF)
+
+    m_prev = m_scr[:, :1]  # (BQ, 1)
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+
+    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    v = v_ref[0]  # (BK, D)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc[:] = acc[:] * alpha + pv
+
+    @pl.when(j == num_k - 1)
+    def _finish():
+        l_final = jnp.maximum(l_scr[:, :1], 1e-30)
+        o_ref[0] = (acc[:] / l_final).astype(o_ref.dtype)
+        # lse stored with 128 duplicated lanes (TPU tiling requires the
+        # trailing block dims to be (8k, 128); same layout as the official
+        # jax.experimental.pallas.ops.tpu.flash_attention).
+        lse_ref[0] = jnp.broadcast_to(
+            m_scr[:, :1] + jnp.log(l_final), lse_ref.shape[1:]
+        )
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc,
+               *, scale, kv_len, block_k):
+    j = pl.program_id(2)
+    num_k = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    lse = lse_ref[0][:, :1]
+    delta = delta_ref[0][:, :1]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+    s = jnp.where(col < kv_len, s, NEG_INF)
+    p = jnp.exp(s - lse)
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta) * scale
+    dq_acc[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == num_k - 1)
+    def _finish():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, dk_acc, dv_acc, *, scale, kv_len, block_k):
+    i = pl.program_id(2)  # q-block index (sequential)
+    num_q = pl.num_programs(2)
+    j = pl.program_id(1)  # k-block index (parallel)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    lse = lse_ref[0][:, :1]
+    delta = delta_ref[0][:, :1]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+    s = jnp.where(col < kv_len, s, NEG_INF)
+    p = jnp.exp(s - lse)  # (BQ, BK)
+
+    dv_acc[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta) * scale
+    dk_acc[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == num_q - 1)
+    def _finish():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Core (custom VJP over padded (BH, T, D) arrays; all sizes static)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_core(q3, k3, v3, scale, kv_len, block_q, block_k, interpret=False):
+    o, _ = _core_fwd(q3, k3, v3, scale, kv_len, block_q, block_k, interpret)
+    return o
+
+
+def _core_fwd(q3, k3, v3, scale, kv_len, block_q, block_k, interpret=False):
+    bh, tq, d = q3.shape
+    tk = k3.shape[1]
+    grid = (bh, tq // block_q, tk // block_k)
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len, block_k=block_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, tq, d), q3.dtype),
+            jax.ShapeDtypeStruct((bh, tq, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q3, k3, v3)
+    return o, (q3, k3, v3, o, lse)
+
+
+def _core_bwd(scale, kv_len, block_q, block_k, interpret, res, g3):
+    q3, k3, v3, o3, lse = res
+    bh, tq, d = q3.shape
+    tk_pad = k3.shape[1]
+
+    delta = jnp.sum(
+        g3.astype(jnp.float32) * o3.astype(jnp.float32), axis=-1
+    )  # (BH, Tq)
+    delta = jnp.broadcast_to(delta[..., None], (*delta.shape, 128))
+
+    dq3 = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, kv_len=kv_len, block_k=block_k),
+        grid=(bh, tq // block_q, tk_pad // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, tq, d), q3.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q3, k3, v3, g3, lse, delta)
+
+    dk3, dv3 = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, kv_len=kv_len, block_k=block_k),
+        grid=(bh, tk_pad // block_k, tq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda b, j, i: (b, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, tk_pad, d), k3.dtype),
+            jax.ShapeDtypeStruct((bh, tk_pad, d), v3.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q3, k3, v3, g3, lse, delta)
+
+    return dq3, dk3, dv3
+
+
+def _core_fwd_rule(q3, k3, v3, scale, kv_len, block_q, block_k, interpret=False):
+    return _core_fwd(q3, k3, v3, scale, kv_len, block_q, block_k, interpret)
+
+
+_flash_core.defvjp(_core_fwd_rule, _core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public wrapper
+# ---------------------------------------------------------------------------
+
+
+def _pad_to(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention over (B, T, H, D) tensors (non-causal, full).
+
+    Drop-in replacement for ``jax.nn.dot_product_attention`` on TPU.
+    """
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    if scale is None:
+        scale = d**-0.5
+
+    bq = min(block_q, _pad_to(tq, 128))
+    bk = min(block_k, _pad_to(tk, 128))
+    tq_pad = _pad_to(tq, bq)
+    tk_pad = _pad_to(tk, bk)
+
+    def to3(x, t_pad):
+        x = jnp.swapaxes(x, 1, 2).reshape(b * h, x.shape[1], d)
+        if x.shape[1] != t_pad:
+            x = jnp.pad(x, ((0, 0), (0, t_pad - x.shape[1]), (0, 0)))
+        return x
+
+    o3 = _flash_core(
+        to3(q, tq_pad), to3(k, tk_pad), to3(v, tk_pad),
+        float(scale), tk, bq, bk, interpret,
+    )
+    return o3[:, :tq].reshape(b, h, tq, d).swapaxes(1, 2)
