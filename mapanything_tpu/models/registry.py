@@ -1,0 +1,86 @@
+"""Model registry/factory: string name -> model constructor.
+
+Parity: ``mapanything/models/__init__.py:41,62`` (init_model,
+MODEL_CONFIGS/model_factory). External-model wrappers (VGGT, MoGe, Pi3, ...,
+reference models/external/) require their upstream pip checkpoints which
+this environment cannot fetch; their registry slots raise with a clear
+message so config parity is visible.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+from mapanything_tpu.models.mapanything import MapAnything, MapAnythingConfig
+from mapanything_tpu.models.modular_dust3r import ModularDUSt3R, ModularDUSt3RConfig
+
+MODEL_REGISTRY: Dict[str, Callable[..., Any]] = {}
+
+
+def register_model(name: str):
+    def deco(fn):
+        MODEL_REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+@register_model("mapanything")
+def _build_mapanything(**overrides):
+    cfg = MapAnythingConfig(**overrides) if overrides else MapAnythingConfig()
+    return MapAnything(cfg)
+
+
+@register_model("mapanything_ablations")
+def _build_mapanything_ablations(scene_rep_type: str = "pointmap", **overrides):
+    """Ablation variant supporting alternative scene reps
+    (reference mapanything/models/mapanything/ablations.py:78). The unified
+    MapAnything covers every scene-rep family via its config, so the
+    ablations model is a config preset here."""
+    from mapanything_tpu.models.heads.adaptors import (
+        DenseAdaptorConfig,
+        dense_components_for_scene_rep,
+    )
+
+    cfg = MapAnythingConfig(
+        scene_rep_type=scene_rep_type,
+        dense_adaptor=DenseAdaptorConfig(
+            components=dense_components_for_scene_rep(scene_rep_type),
+            with_confidence=overrides.pop("with_confidence", True),
+            with_mask=overrides.pop("with_mask", True),
+        ),
+        **overrides,
+    )
+    return MapAnything(cfg)
+
+
+@register_model("modular_dust3r")
+def _build_modular_dust3r(**overrides):
+    cfg = ModularDUSt3RConfig(**overrides) if overrides else ModularDUSt3RConfig()
+    return ModularDUSt3R(cfg)
+
+
+_EXTERNAL_MODELS = [
+    "vggt", "moge", "pi3", "dust3r_ba", "mast3r_sga", "must3r", "pow3r",
+    "pow3r_ba", "anycalib",
+]
+for _name in _EXTERNAL_MODELS:
+
+    def _missing(_name=_name, **_kw):
+        raise NotImplementedError(
+            f"external baseline '{_name}' requires upstream pretrained "
+            "checkpoints unavailable in this environment (reference "
+            "mapanything/models/external/); use 'mapanything' or "
+            "'modular_dust3r'."
+        )
+
+    MODEL_REGISTRY[_name] = _missing
+
+
+def init_model(model_str: str, **model_config):
+    """Build a model by registry name (reference models/__init__.py:41)."""
+    if model_str not in MODEL_REGISTRY:
+        raise KeyError(
+            f"unknown model '{model_str}'; available: {sorted(MODEL_REGISTRY)}"
+        )
+    return MODEL_REGISTRY[model_str](**model_config)

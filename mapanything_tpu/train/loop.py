@@ -1,0 +1,202 @@
+"""Full training runtime: epochs, eval, checkpoints, NaN forensics.
+
+Parity: ``mapanything/train/training.py`` (train :44, train_one_epoch
+:387, test_one_epoch :584): per-step LR schedule (inside the optax chain),
+loss scaled 2/n_views (inside the step), grad clip (optimizer), epoch loop
+{test, save, train}, auto-resume from the latest checkpoint
+(training.py:214-227), loss-explosion forensic dump (:481-510), JSON-lines
+epoch logs.
+
+TPU-native: one jitted train step per (B, V, H, W) bucket shape (compile
+cache keyed by shape), data sharded over the mesh, checkpoints via orbax.
+"""
+
+from __future__ import annotations
+
+import pickle
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mapanything_tpu.models.mapanything import GeometricInputConfig, MapAnything
+from mapanything_tpu.train.checkpointing import CheckpointManager
+from mapanything_tpu.train.losses import LossBatch, LossConfig
+from mapanything_tpu.train.optim import OptimConfig, build_optimizer
+from mapanything_tpu.train.step import TrainState, make_eval_step, make_train_step
+from mapanything_tpu.utils.logging import (
+    JsonlLogger,
+    MetricLogger,
+    all_reduce_mean,
+    print_main,
+)
+
+
+@dataclass
+class TrainLoopConfig:
+    output_dir: str = "outputs/run"
+    epochs: int = 10
+    warmup_epochs: float = 1.0
+    lr: float = 1e-4
+    min_lr: float = 1e-6
+    weight_decay: float = 0.05
+    grad_clip_norm: float = 1.0
+    save_freq: int = 1  # epochs between checkpoint-last saves
+    keep_freq: int = 0  # keep every N epochs permanently
+    print_freq: int = 20
+    seed: int = 0
+    max_loss_explosion: float = 1e4  # NaN/explosion abort threshold
+    resume: bool = True
+
+
+def loss_batch_from_numpy(batch_np: Dict[str, np.ndarray]) -> LossBatch:
+    """Collated numpy batch -> device LossBatch (H2D boundary)."""
+    return LossBatch(
+        pts3d=jnp.asarray(batch_np["pts3d"]),
+        pts3d_cam=jnp.asarray(batch_np["pts3d_cam"]),
+        depth_along_ray=jnp.asarray(batch_np["depth_along_ray"]),
+        ray_directions=jnp.asarray(batch_np["ray_directions_cam"]),
+        camera_pose_quats=jnp.asarray(batch_np["camera_pose_quats"]),
+        camera_pose_trans=jnp.asarray(batch_np["camera_pose_trans"]),
+        valid_mask=jnp.asarray(batch_np["valid_mask"]),
+        non_ambiguous_mask=jnp.asarray(batch_np["non_ambiguous_mask"]),
+        valid_non_ambiguous_mask=jnp.asarray(
+            batch_np.get("valid_non_ambiguous_mask", batch_np["non_ambiguous_mask"])
+        ),
+        is_metric_scale=jnp.asarray(batch_np["is_metric_scale"]),
+        is_synthetic=jnp.asarray(batch_np["is_synthetic"]),
+    )
+
+
+class Trainer:
+    """Epoch-driven trainer over a MultiViewDataLoader."""
+
+    def __init__(
+        self,
+        model: MapAnything,
+        train_loader,
+        cfg: TrainLoopConfig,
+        test_loader=None,
+        loss_cfg: LossConfig = LossConfig(),
+        geo_cfg: GeometricInputConfig = GeometricInputConfig(),
+        init_params=None,
+    ):
+        self.model = model
+        self.train_loader = train_loader
+        self.test_loader = test_loader
+        self.cfg = cfg
+        self.loss_cfg = loss_cfg
+        self.geo_cfg = geo_cfg
+
+        epoch_len = max(len(train_loader), 1)
+        self.opt_cfg = OptimConfig(
+            lr=cfg.lr,
+            min_lr=cfg.min_lr,
+            weight_decay=cfg.weight_decay,
+            grad_clip_norm=cfg.grad_clip_norm,
+            warmup_epochs=cfg.warmup_epochs,
+            total_epochs=cfg.epochs,
+            epoch_len=epoch_len,
+        )
+
+        if init_params is None:
+            raise ValueError("init_params required (use model.init on a sample batch)")
+        self.optimizer = build_optimizer(self.opt_cfg, init_params)
+        self.state = TrainState(
+            params=init_params,
+            opt_state=self.optimizer.init(init_params),
+            step=jnp.zeros((), jnp.int32),
+        )
+        self.train_step = make_train_step(
+            self.model, self.optimizer, loss_cfg, geo_cfg, donate=False
+        )
+        self.eval_step = make_eval_step(self.model, loss_cfg)
+
+        self.ckpt = CheckpointManager(
+            str(Path(cfg.output_dir) / "checkpoints"), keep_freq=cfg.keep_freq
+        )
+        self.jsonl = JsonlLogger(cfg.output_dir)
+        self.start_epoch = 0
+        self.rng = jax.random.PRNGKey(cfg.seed)
+
+        if cfg.resume and self.ckpt.latest_step() is not None:
+            restored = self.ckpt.restore(self.state)
+            if restored is not None:
+                self.state = restored
+                meta = self.ckpt.load_metadata() or {}
+                self.start_epoch = int(meta.get("epoch", 0)) + 1
+                print_main(f"Resumed from checkpoint at epoch {self.start_epoch - 1}")
+
+    # ------------------------------------------------------------------
+    def _dump_forensics(self, batch_np, loss, epoch, it):
+        """Loss-explosion dump: offending batch + debug ckpt (training.py:481)."""
+        out = Path(self.cfg.output_dir) / "debug"
+        out.mkdir(parents=True, exist_ok=True)
+        with open(out / f"bad_batch_e{epoch}_i{it}.pkl", "wb") as f:
+            pickle.dump(batch_np, f)
+        self.ckpt.save(int(self.state.step), self.state, {"debug": True, "epoch": epoch})
+        self.ckpt.wait()
+        raise FloatingPointError(
+            f"loss explosion/NaN at epoch {epoch} iter {it}: {loss}; "
+            f"batch + checkpoint dumped to {out}"
+        )
+
+    def train_one_epoch(self, epoch: int) -> Dict[str, float]:
+        logger = MetricLogger(print_fn=print_main)
+        self.train_loader.set_epoch(epoch)
+        header = f"Epoch [{epoch}]"
+        for it, batch_np in enumerate(
+            logger.log_every(self.train_loader, self.cfg.print_freq, header)
+        ):
+            self.rng, step_rng = jax.random.split(self.rng)
+            img = jnp.asarray(batch_np["img"])
+            batch = loss_batch_from_numpy(batch_np)
+            self.state, metrics = self.train_step(self.state, img, batch, step_rng)
+            loss = float(metrics["loss"])
+            if not np.isfinite(loss) or loss > self.cfg.max_loss_explosion:
+                self._dump_forensics(batch_np, loss, epoch, it)
+            logger.update(
+                loss=loss, grad_norm=float(metrics["grad_norm"])
+            )
+        stats = logger.global_avg_dict("train_")
+        stats["train_loss_synced"] = all_reduce_mean(stats.get("train_loss", 0.0))
+        return stats
+
+    def test_one_epoch(self, epoch: int) -> Dict[str, float]:
+        if self.test_loader is None:
+            return {}
+        logger = MetricLogger(print_fn=print_main)
+        self.test_loader.set_epoch(epoch)
+        for batch_np in logger.log_every(
+            self.test_loader, self.cfg.print_freq, f"Test [{epoch}]"
+        ):
+            img = jnp.asarray(batch_np["img"])
+            batch = loss_batch_from_numpy(batch_np)
+            metrics = self.eval_step(self.state.params, img, batch)
+            logger.update(loss=float(metrics["loss"]))
+        return logger.global_avg_dict("test_")
+
+    def train(self):
+        best_loss = float("inf")
+        for epoch in range(self.start_epoch, self.cfg.epochs):
+            t0 = time.time()
+            train_stats = self.train_one_epoch(epoch)
+            test_stats = self.test_one_epoch(epoch)
+            stats = {
+                "epoch": epoch,
+                **train_stats,
+                **test_stats,
+                "epoch_time_s": time.time() - t0,
+            }
+            self.jsonl.write(stats)
+            if epoch % self.cfg.save_freq == 0 or epoch == self.cfg.epochs - 1:
+                self.ckpt.save(epoch, self.state, {"epoch": epoch})
+            test_loss = test_stats.get("test_loss")
+            if test_loss is not None and test_loss < best_loss:
+                best_loss = test_loss
+        self.ckpt.wait()
+        return self.state

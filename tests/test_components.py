@@ -1,0 +1,172 @@
+"""Tests: RoPE2D, CroCo encoder, info-sharing variants, DUSt3R, registry, config."""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mapanything_tpu.models.encoders.croco import CroCoEncoder, PatchEmbedder
+from mapanything_tpu.models.info_sharing.cross_attention import (
+    CrossAttentionTransformer,
+)
+from mapanything_tpu.models.info_sharing.global_attention import (
+    GlobalAttentionTransformer,
+)
+from mapanything_tpu.models.modular_dust3r import ModularDUSt3R, ModularDUSt3RConfig
+from mapanything_tpu.models.registry import MODEL_REGISTRY, init_model
+from mapanything_tpu.ops.rope import patch_position_grid, rope_2d
+from mapanything_tpu.utils.config import load_config
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+class TestRope2D:
+    def test_preserves_norm(self):
+        rng = np.random.RandomState(0)
+        tokens = jnp.asarray(rng.randn(2, 12, 2, 64).astype(np.float32))
+        pos = patch_position_grid(2, 3, 4)
+        out = rope_2d(tokens, pos)
+        np.testing.assert_allclose(
+            np.asarray(jnp.linalg.norm(out, axis=-1)),
+            np.asarray(jnp.linalg.norm(tokens, axis=-1)),
+            atol=1e-4,
+        )
+
+    def test_relative_property(self):
+        # <rope(q, p1), rope(k, p2)> depends only on p1 - p2 (per axis)
+        rng = np.random.RandomState(1)
+        q = jnp.asarray(rng.randn(1, 1, 1, 64).astype(np.float32))
+        k = jnp.asarray(rng.randn(1, 1, 1, 64).astype(np.float32))
+
+        def score(py1, px1, py2, px2):
+            pq = jnp.asarray([[[py1, px1]]], jnp.int32)
+            pk = jnp.asarray([[[py2, px2]]], jnp.int32)
+            rq = rope_2d(q, pq)
+            rk = rope_2d(k, pk)
+            return float(jnp.sum(rq * rk))
+
+        s1 = score(3, 5, 1, 2)
+        s2 = score(13, 25, 11, 22)  # same (dy, dx) = (2, 3)
+        assert abs(s1 - s2) < 1e-3
+
+    def test_zero_position_identity(self):
+        rng = np.random.RandomState(2)
+        tokens = jnp.asarray(rng.randn(1, 4, 1, 64).astype(np.float32))
+        pos = jnp.zeros((1, 4, 2), jnp.int32)
+        out = rope_2d(tokens, pos)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(tokens), atol=1e-6)
+
+
+class TestEncoders:
+    def test_croco_encoder_shapes(self):
+        enc = CroCoEncoder(patch_size=16, embed_dim=128, depth=2, num_heads=4)
+        x = jnp.zeros((1, 64, 64, 3))
+        params = enc.init(jax.random.PRNGKey(0), x)
+        out = enc.apply(params, x)
+        assert out.shape == (1, 4, 4, 128)
+
+    def test_croco_intermediates(self):
+        enc = CroCoEncoder(
+            patch_size=16, embed_dim=128, depth=3, num_heads=4, return_layers=(0, 1)
+        )
+        x = jnp.zeros((1, 32, 32, 3))
+        params = enc.init(jax.random.PRNGKey(0), x)
+        inters, out = enc.apply(params, x)
+        assert len(inters) == 2 and out.shape == (1, 2, 2, 128)
+
+    def test_patch_embedder(self):
+        pe = PatchEmbedder(patch_size=14, embed_dim=96)
+        x = jnp.zeros((2, 28, 28, 3))
+        params = pe.init(jax.random.PRNGKey(0), x)
+        assert pe.apply(params, x).shape == (2, 2, 2, 96)
+
+
+class TestInfoSharingVariants:
+    def _features(self, B=1, V=3, h=4, w=4, c=64):
+        rng = np.random.RandomState(0)
+        return jnp.asarray(rng.randn(B, V, h, w, c).astype(np.float32))
+
+    def test_global_attention(self):
+        m = GlobalAttentionTransformer(
+            input_embed_dim=64, depth=2, dim=96, num_heads=4, indices=(0,)
+        )
+        feats = self._features()
+        tokens = jnp.zeros((1, 1, 64))
+        params = m.init(jax.random.PRNGKey(0), feats, tokens)
+        out, inters, tok = m.apply(params, feats, tokens)
+        assert out.shape == (1, 3, 4, 4, 96)
+        assert len(inters) == 1 and tok.shape == (1, 1, 96)
+
+    def test_cross_attention(self):
+        m = CrossAttentionTransformer(
+            input_embed_dim=64, depth=2, dim=96, num_heads=4, indices=(0,)
+        )
+        feats = self._features()
+        params = m.init(jax.random.PRNGKey(0), feats)
+        out, inters = m.apply(params, feats)
+        assert out.shape == (1, 3, 4, 4, 96)
+        assert len(inters) == 1
+
+
+class TestModularDUSt3R:
+    def test_forward(self):
+        cfg = ModularDUSt3RConfig(
+            enc_embed_dim=96, enc_depth=2, enc_num_heads=4,
+            dec_embed_dim=64, dec_depth=3, dec_num_heads=4,
+            dpt_feature_dim=32, dpt_layer_dims=(16, 24, 32, 48),
+            indices=(0, 1),
+        )
+        model = ModularDUSt3R(cfg)
+        imgs = jnp.zeros((1, 2, 64, 64, 3))
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), imgs)
+        preds = model.apply(params, imgs)
+        assert preds.pts3d.shape == (1, 2, 64, 64, 3)
+        assert preds.conf.shape == (1, 2, 64, 64)
+        assert bool(jnp.all(preds.conf >= 1.0))
+
+
+class TestRegistry:
+    def test_known_models(self):
+        for name in ("mapanything", "mapanything_ablations", "modular_dust3r"):
+            assert name in MODEL_REGISTRY
+
+    def test_external_raise(self):
+        with pytest.raises(NotImplementedError):
+            init_model("vggt")
+
+    def test_ablations_scene_rep(self):
+        m = init_model("mapanything_ablations", scene_rep_type="pointmap")
+        assert m.config.scene_rep_type == "pointmap"
+        assert m.config.dense_adaptor.components == ("pointmap",)
+
+
+class TestConfigSystem:
+    def test_compose_train_config(self):
+        cfg = load_config(REPO / "configs" / "train.yaml")
+        assert cfg["model"]["encoder"]["size"] == "large"
+        assert cfg["model"]["info_sharing"]["depth"] == 24
+        assert cfg["model"]["info_sharing"]["indices"] == [11, 17]
+        assert cfg["model"]["pred_head"]["scene_rep_type"] == "raydirs+depth+pose"
+        assert cfg["loss"]["conf_alpha"] == 0.2
+        assert cfg["train_params"]["lr"] == 1e-4
+
+    def test_defaults_chain_and_override(self):
+        cfg = load_config(
+            REPO / "configs" / "model" / "info_sharing" / "aat_ifr_24_layers_escaling.yaml"
+        )
+        assert cfg["use_entropy_scaling"] is True
+        assert cfg["depth"] == 24  # inherited
+
+    def test_cli_overrides(self):
+        cfg = load_config(
+            REPO / "configs" / "train.yaml",
+            overrides=["train_params.lr=5e-5", "model.info_sharing.depth=12"],
+        )
+        assert cfg["train_params"]["lr"] == 5e-5
+        assert cfg["model"]["info_sharing"]["depth"] == 12
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q", "-x"])

@@ -1,0 +1,68 @@
+"""Trainer smoke test: two epochs on synthetic data + checkpoint resume."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mapanything_tpu.data.loader import MultiViewDataLoader, get_test_data_loader
+from mapanything_tpu.models.mapanything import MapAnything, MapAnythingConfig
+from mapanything_tpu.train.loop import (
+    Trainer,
+    TrainLoopConfig,
+    loss_batch_from_numpy,
+)
+from mapanything_tpu.train.step import views_from_loss_batch
+from test_data_layer import make_ds
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(tmp_path_factory):
+    ds = 4 @ make_ds(num_views=2, resolution=(56, 56))
+    loader = MultiViewDataLoader(ds, images_per_batch=4, num_workers=1)
+    loader.set_epoch(0)
+    batch_np = next(iter(loader))
+    model = MapAnything(MapAnythingConfig.small())
+    batch = loss_batch_from_numpy(batch_np)
+    views = views_from_loss_batch(batch, jnp.asarray(batch_np["img"]))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), views)["params"]
+    return ds, loader, model, params, tmp_path_factory.mktemp("run")
+
+
+def test_trainer_runs_and_resumes(tiny_setup):
+    ds, loader, model, params, outdir = tiny_setup
+    cfg = TrainLoopConfig(
+        output_dir=str(outdir), epochs=2, warmup_epochs=0.5,
+        print_freq=100, save_freq=1,
+    )
+    trainer = Trainer(model, loader, cfg, init_params=params)
+    state = trainer.train()
+    assert int(state.step) > 0
+    # JSON-lines log written
+    log = (outdir / "log.txt").read_text().strip().splitlines()
+    assert len(log) == 2
+
+    # Resume: a fresh trainer must pick up from the checkpoint
+    trainer2 = Trainer(model, loader, cfg, init_params=params)
+    assert trainer2.start_epoch == 2
+    p_new = jax.tree.leaves(trainer2.state.params)[0]
+    p_trained = jax.tree.leaves(state.params)[0]
+    np.testing.assert_allclose(np.asarray(p_new), np.asarray(p_trained))
+
+
+def test_loss_decreases_with_training(tiny_setup):
+    ds, loader, model, params, outdir = tiny_setup
+    cfg = TrainLoopConfig(
+        output_dir=str(outdir / "overfit"), epochs=3, warmup_epochs=0.0,
+        lr=3e-4, print_freq=100, resume=False,
+    )
+    trainer = Trainer(model, loader, cfg, init_params=params)
+    losses = []
+    for epoch in range(3):
+        stats = trainer.train_one_epoch(epoch)
+        losses.append(stats["train_loss"])
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q", "-x"])

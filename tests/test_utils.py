@@ -1,0 +1,216 @@
+"""Tests: inference pipeline, image buckets, COLMAP roundtrip, viz, metrics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mapanything_tpu.models.mapanything import MapAnything, MapAnythingConfig
+from mapanything_tpu.utils import colmap as colmap_io
+from mapanything_tpu.utils import metrics
+from mapanything_tpu.utils.image import find_closest_aspect_ratio, load_images, rgb
+from mapanything_tpu.utils.inference import (
+    PostprocessConfig,
+    infer,
+    postprocess_model_outputs_for_inference,
+    preprocess_inputs_for_inference,
+)
+from mapanything_tpu.utils.viz import (
+    predictions_to_glb,
+    write_glb_pointcloud,
+    write_ply_pointcloud,
+)
+
+
+class TestInferencePipeline:
+    def _images(self, B=1, V=2, H=56, W=56):
+        rng = np.random.RandomState(0)
+        return jnp.asarray(rng.uniform(0, 1, (B, V, H, W, 3)).astype(np.float32))
+
+    def test_preprocess_images_only(self):
+        views = preprocess_inputs_for_inference(self._images())
+        assert views.ray_directions is None
+        assert views.img.shape == (1, 2, 56, 56, 3)
+
+    def test_preprocess_with_intrinsics_and_depth(self):
+        imgs = self._images()
+        K = jnp.broadcast_to(
+            jnp.asarray([[50.0, 0, 27.5], [0, 50.0, 27.5], [0, 0, 1]]), (1, 2, 3, 3)
+        )
+        depth_z = jnp.ones((1, 2, 56, 56)) * 2.0
+        views = preprocess_inputs_for_inference(imgs, intrinsics=K, depth_z=depth_z)
+        assert views.ray_directions.shape == (1, 2, 56, 56, 3)
+        norms = jnp.linalg.norm(views.ray_directions, axis=-1)
+        np.testing.assert_allclose(np.asarray(norms), 1.0, atol=1e-5)
+        # depth along ray >= z depth
+        assert bool(jnp.all(views.depth_along_ray[..., 0] >= 2.0 - 1e-4))
+
+    def test_preprocess_conflicts_raise(self):
+        imgs = self._images()
+        K = jnp.zeros((1, 2, 3, 3))
+        rays = jnp.zeros((1, 2, 56, 56, 3))
+        with pytest.raises(ValueError):
+            preprocess_inputs_for_inference(imgs, intrinsics=K, ray_directions=rays)
+        with pytest.raises(ValueError):
+            preprocess_inputs_for_inference(imgs, depth_z=jnp.zeros((1, 2, 56, 56)))
+
+    def test_full_infer_and_postprocess(self):
+        model = MapAnything(MapAnythingConfig.small())
+        imgs = self._images()
+        views = preprocess_inputs_for_inference(imgs)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), views)
+        out = infer(
+            model, params, imgs,
+            postprocess_cfg=PostprocessConfig(apply_confidence_mask=True),
+        )
+        assert out.depth_z.shape == (1, 2, 56, 56, 1)
+        assert out.intrinsics.shape == (1, 2, 3, 3)
+        assert out.camera_poses.shape == (1, 2, 4, 4)
+        assert out.mask is not None
+        # masked outputs are zeroed where mask is off
+        m = np.asarray(out.mask)[..., 0]
+        pts = np.asarray(out.pts3d)
+        assert np.all(pts[~m.astype(bool)] == 0)
+        # recovered intrinsics should be finite with positive focals
+        K = np.asarray(out.intrinsics)
+        assert np.isfinite(K).all()
+
+
+class TestImageUtils:
+    def test_aspect_ratio_buckets(self):
+        assert find_closest_aspect_ratio(1.0, 518) == (518, 518)
+        assert find_closest_aspect_ratio(1.78, 518) == (518, 294)
+        assert find_closest_aspect_ratio(0.5, 518) == (252, 518)
+
+    def test_load_images(self, tmp_path):
+        import cv2
+
+        rng = np.random.RandomState(0)
+        for i in range(3):
+            img = rng.randint(0, 255, (480, 640, 3), np.uint8)
+            cv2.imwrite(str(tmp_path / f"im{i}.png"), img)
+        out = load_images(str(tmp_path))
+        assert out["images"].shape[0] == 3
+        h, w = out["images"].shape[1:3]
+        assert (w, h) in [(518, 392), (518, 336)]  # 4:3-ish bucket
+        assert out["images_no_norm"].min() >= 0 and out["images_no_norm"].max() <= 1
+
+    def test_rgb_denorm_roundtrip(self):
+        rng = np.random.RandomState(0)
+        img01 = rng.uniform(0, 1, (8, 8, 3)).astype(np.float32)
+        from mapanything_tpu.models.encoders.normalizations import (
+            IMAGE_NORMALIZATION_DICT,
+        )
+        normed = IMAGE_NORMALIZATION_DICT["dinov2"].apply(img01)
+        back = rgb(normed, "dinov2")
+        np.testing.assert_allclose(back, img01, atol=1e-5)
+
+
+class TestColmap:
+    def test_binary_roundtrip(self, tmp_path):
+        rng = np.random.RandomState(0)
+        cams = {1: colmap_io.Camera(1, "PINHOLE", 640, 480, np.array([500.0, 500.0, 320.0, 240.0]))}
+        pose = np.eye(4)
+        pose[:3, 3] = [1, 2, 3]
+        q, t = colmap_io.c2w_to_colmap_qt(pose)
+        ims = {
+            1: colmap_io.Image(
+                1, q, t, 1, "img1.png",
+                xys=rng.rand(5, 2) * 100,
+                point3D_ids=np.arange(5, dtype=np.int64),
+            )
+        }
+        pts = {
+            i: colmap_io.Point3D(
+                i, rng.rand(3), (rng.rand(3) * 255).astype(np.uint8),
+                0.5, np.array([1]), np.array([i - 1]),
+            )
+            for i in range(1, 6)
+        }
+        colmap_io.write_model(cams, ims, pts, tmp_path, ".bin")
+        c2, i2, p2 = colmap_io.read_model(tmp_path, ".bin")
+        assert c2[1].model == "PINHOLE"
+        np.testing.assert_allclose(c2[1].params, cams[1].params)
+        np.testing.assert_allclose(i2[1].qvec, q)
+        np.testing.assert_allclose(i2[1].xys, ims[1].xys)
+        assert len(p2) == 5
+        np.testing.assert_allclose(p2[3].xyz, pts[3].xyz)
+        # pose roundtrip
+        pose_back = colmap_io.colmap_qt_to_c2w(i2[1].qvec, i2[1].tvec)
+        np.testing.assert_allclose(pose_back, pose, atol=1e-6)
+
+    def test_text_write(self, tmp_path):
+        cams = {1: colmap_io.Camera(1, "PINHOLE", 64, 48, np.array([50.0, 50.0, 32.0, 24.0]))}
+        q, t = colmap_io.c2w_to_colmap_qt(np.eye(4))
+        ims = {1: colmap_io.Image(1, q, t, 1, "a.png")}
+        colmap_io.write_model(cams, ims, {}, tmp_path, ".txt")
+        assert (tmp_path / "cameras.txt").exists()
+        assert "PINHOLE" in (tmp_path / "cameras.txt").read_text()
+
+    def test_predictions_to_colmap(self):
+        rng = np.random.RandomState(0)
+        v, h, w = 2, 12, 16
+        pts3d = rng.randn(v, h, w, 3).astype(np.float32)
+        colors = rng.rand(v, h, w, 3).astype(np.float32)
+        K = np.broadcast_to(np.eye(3), (v, 3, 3)).copy()
+        poses = np.broadcast_to(np.eye(4), (v, 4, 4)).copy()
+        cams, ims, pts = colmap_io.predictions_to_colmap(pts3d, colors, K, poses)
+        assert len(ims) == 2 and len(pts) == v * h * w
+
+
+class TestViz:
+    def test_ply_and_glb(self, tmp_path):
+        rng = np.random.RandomState(0)
+        pts = rng.randn(100, 3).astype(np.float32)
+        col = rng.rand(100, 3).astype(np.float32)
+        write_ply_pointcloud(tmp_path / "a.ply", pts, col)
+        write_glb_pointcloud(tmp_path / "a.glb", pts, col)
+        data = (tmp_path / "a.glb").read_bytes()
+        assert data[:4] == b"glTF"
+        predictions_to_glb(tmp_path / "b.glb", pts, col, mask=np.ones(100, bool))
+        assert (tmp_path / "b.glb").stat().st_size > 100
+
+
+class TestMetrics:
+    def test_ate_zero_for_identical(self):
+        rng = np.random.RandomState(0)
+        traj = np.tile(np.eye(4), (5, 1, 1))
+        traj[:, :3, 3] = rng.randn(5, 3)
+        assert metrics.evaluate_ate(traj, traj) < 1e-9
+
+    def test_ate_invariant_to_rigid_transform(self):
+        from scipy.spatial.transform import Rotation
+
+        rng = np.random.RandomState(1)
+        traj = np.tile(np.eye(4), (8, 1, 1))
+        traj[:, :3, 3] = rng.randn(8, 3)
+        R = Rotation.random(random_state=rng).as_matrix()
+        t = rng.randn(3)
+        traj2 = traj.copy()
+        traj2[:, :3, 3] = traj[:, :3, 3] @ R.T + t
+        assert metrics.evaluate_ate(traj, traj2) < 1e-6
+
+    def test_thresh_inliers_and_rel_ae(self):
+        gt = np.ones((10, 10, 1)) * 2.0
+        pred = gt * 1.02
+        assert metrics.thresh_inliers(gt, pred, 1.03) == 1.0
+        pred2 = gt * 1.5
+        assert metrics.thresh_inliers(gt, pred2, 1.03) == 0.0
+        np.testing.assert_allclose(metrics.m_rel_ae(gt, pred2), 0.5, atol=1e-6)
+
+    def test_relative_pose_error_zero(self):
+        rng = np.random.RandomState(2)
+        from scipy.spatial.transform import Rotation
+
+        poses = np.tile(np.eye(4), (4, 1, 1))
+        for i in range(4):
+            poses[i, :3, :3] = Rotation.random(random_state=rng).as_matrix()
+            poses[i, :3, 3] = rng.randn(3)
+        r_err, t_err = metrics.se3_to_relative_pose_error(poses, poses, 4)
+        assert np.all(r_err < 0.1) and np.all(t_err < 0.1)
+        auc, _ = metrics.calculate_auc(r_err, t_err, 30)
+        assert auc > 0.95
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q", "-x"])
