@@ -1,0 +1,245 @@
+"""Bundle adjustment: Schur-complement Gauss-Newton with CG, pure JAX.
+
+Replaces the reference's C++ BA — ``pycolmap.bundle_adjustment`` (Ceres)
+called at ``scripts/demo_colmap.py:466-485`` — with a TPU-native solver:
+
+  - residuals: pinhole reprojection error per (track, camera) observation,
+    Huber-robustified, static (N, M) layout with validity masks;
+  - per-observation Jacobians via vmapped ``jax.jacfwd`` (2x6 camera,
+    2x3 point blocks);
+  - Levenberg-damped normal equations reduced by the Schur complement:
+    point blocks Hpp are 3x3 and inverted in closed form; the reduced
+    camera system S = Hcc - Hcp Hpp^-1 Hpc is solved matrix-free by CG
+    where every S @ v product is two segment-sums over observations —
+    under pjit these lower to psum-style collectives when observations
+    are sharded across chips (the "BA reductions over ICI" design of
+    BASELINE.json);
+  - camera rotations updated on the manifold (axis-angle left-increments).
+
+Everything jits; one ``ba_solve`` call runs the full Gauss-Newton loop via
+``lax.scan`` (static iteration counts).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mapanything_tpu.ba.tracks import Tracks
+
+
+def _exp_so3(w: jnp.ndarray) -> jnp.ndarray:
+    """Axis-angle (3,) -> rotation matrix via Rodrigues (safe at 0)."""
+    theta = jnp.linalg.norm(w)
+    safe = jnp.maximum(theta, 1e-12)
+    k = w / safe
+    K = jnp.array(
+        [[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]], w.dtype
+    )
+    s, c = jnp.sin(theta), jnp.cos(theta)
+    R = jnp.eye(3, dtype=w.dtype) + s * K + (1 - c) * (K @ K)
+    return jnp.where(theta < 1e-10, jnp.eye(3, dtype=w.dtype), R)
+
+
+def _project(K, R0, rot_delta, trans, point):
+    """Reproject one world point into one camera with pose increment.
+
+    Camera model: x_cam = exp(rot_delta) @ R0 @ X + t  (w2c), u = K x / z.
+    """
+    R = _exp_so3(rot_delta) @ R0
+    x = R @ point + trans
+    z = jnp.maximum(x[2], 1e-6)
+    u = K[0, 0] * x[0] / z + K[0, 2]
+    v = K[1, 1] * x[1] / z + K[1, 2]
+    return jnp.stack([u, v])
+
+
+def _residual_one(K, R0, rot_delta, trans, point, uv_obs):
+    return _project(K, R0, rot_delta, trans, point) - uv_obs
+
+
+def _huber_weight(r2: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """IRLS weight sqrt(w) for the Huber loss on squared residual norm."""
+    r = jnp.sqrt(jnp.maximum(r2, 1e-12))
+    return jnp.where(r <= delta, 1.0, jnp.sqrt(delta / r))
+
+
+class BAState(NamedTuple):
+    rot: jnp.ndarray  # (M, 3, 3) current w2c rotations
+    trans: jnp.ndarray  # (M, 3)
+    points: jnp.ndarray  # (N, 3)
+
+
+def _build_system(tracks: Tracks, state: BAState, huber_delta: float):
+    """Per-observation residuals + Jacobian blocks, Huber-weighted.
+
+    Returns r (N, M, 2), Jc (N, M, 2, 6), Jp (N, M, 2, 3), valid weights.
+    """
+    N, M = tracks.valid.shape
+
+    def per_obs(K, R0, t, p, uv):
+        zero = jnp.zeros(3)
+
+        def f(rot_delta, trans, point):
+            return _residual_one(K, R0, rot_delta, trans, point, uv)
+
+        r = f(zero, t, p)
+        Jrot = jax.jacfwd(f, argnums=0)(zero, t, p)  # (2, 3)
+        Jt = jax.jacfwd(f, argnums=1)(zero, t, p)  # (2, 3)
+        Jp = jax.jacfwd(f, argnums=2)(zero, t, p)  # (2, 3)
+        return r, jnp.concatenate([Jrot, Jt], axis=1), Jp
+
+    per_cam = jax.vmap(per_obs, in_axes=(0, 0, 0, None, 0))  # over M
+    per_all = jax.vmap(per_cam, in_axes=(None, None, None, 0, 0))  # over N
+
+    r, Jc, Jp = per_all(
+        tracks.intrinsics, state.rot, state.trans, state.points,
+        tracks.observations_uv,
+    )
+    w = _huber_weight(jnp.sum(r * r, axis=-1), huber_delta)
+    w = w * tracks.valid
+    sw = w[..., None]
+    return r * sw, Jc * sw[..., None], Jp * sw[..., None]
+
+
+def _schur_solve(r, Jc, Jp, lm_lambda: float, cg_iters: int,
+                 fix_first_cam: bool = True):
+    """Solve the damped normal equations by Schur reduction + CG.
+
+    Shapes: r (N, M, 2), Jc (N, M, 2, 6), Jp (N, M, 2, 3).
+    Returns (delta_cam (M, 6), delta_pts (N, 3)).
+
+    Gauge handling: BA has 6 (pose) + 1 (scale) gauge freedoms; without
+    fixing them the reduced system is rank-deficient and CG returns huge
+    steps along the null space. The first camera is frozen INSIDE the
+    system via a strong diagonal prior (zeroing its delta after the solve
+    would invalidate the step); multiplicative LM damping absorbs the
+    scale gauge.
+    """
+    # Blocks.
+    Hpp = jnp.einsum("nmki,nmkj->nij", Jp, Jp)  # (N, 3, 3)
+    Hcc = jnp.einsum("nmki,nmkj->mij", Jc, Jc)  # (M, 6, 6)
+    Hcp = jnp.einsum("nmki,nmkj->nmij", Jc, Jp)  # (N, M, 6, 3)
+    bc = -jnp.einsum("nmki,nmk->mi", Jc, r)  # (M, 6)
+    bp = -jnp.einsum("nmki,nmk->ni", Jp, r)  # (N, 3)
+
+    eye3 = jnp.eye(3)
+    eye6 = jnp.eye(6)
+    # Multiplicative (Marquardt) damping handles the wildly different
+    # scales of rotation/translation/point blocks.
+    Hpp = Hpp + lm_lambda * jax.vmap(jnp.diag)(
+        jnp.maximum(jax.vmap(jnp.diag)(Hpp), 1e-6)
+    ) + 1e-8 * eye3
+    Hcc = Hcc + lm_lambda * jax.vmap(jnp.diag)(
+        jnp.maximum(jax.vmap(jnp.diag)(Hcc), 1e-6)
+    ) + 1e-8 * eye6
+    if fix_first_cam:
+        gauge_prior = jnp.zeros_like(Hcc).at[0].set(1e12 * eye6)
+        Hcc = Hcc + gauge_prior
+        bc = bc.at[0].set(0.0)
+    Hpp_inv = jnp.linalg.inv(Hpp)  # (N, 3, 3) closed form per point
+
+    # Reduced RHS: b~ = bc - Hcp Hpp^-1 bp
+    hinv_bp = jnp.einsum("nij,nj->ni", Hpp_inv, bp)  # (N, 3)
+    b_red = bc - jnp.einsum("nmij,nj->mi", Hcp, hinv_bp)
+
+    def S_matvec(v):  # v (M, 6)
+        hv = jnp.einsum("mij,mj->mi", Hcc, v)
+        t = jnp.einsum("nmji,mj->ni", Hcp, v)  # Hpc v, (N, 3)
+        t = jnp.einsum("nij,nj->ni", Hpp_inv, t)
+        hv = hv - jnp.einsum("nmij,nj->mi", Hcp, t)
+        return hv
+
+    # Jacobi-preconditioned CG on the reduced camera system.
+    diag = jnp.maximum(jax.vmap(jnp.diag)(Hcc), 1e-8)  # (M, 6)
+
+    def cg_body(carry, _):
+        x, rr, p, rz = carry
+        Ap = S_matvec(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-12)
+        x = x + alpha * p
+        rr = rr - alpha * Ap
+        z = rr / diag
+        rz_new = jnp.sum(rr * z)
+        beta = rz_new / jnp.maximum(rz, 1e-12)
+        p = z + beta * p
+        return (x, rr, p, rz_new), None
+
+    x0 = jnp.zeros_like(b_red)
+    r0 = b_red
+    z0 = r0 / diag
+    (delta_cam, *_), _ = jax.lax.scan(
+        cg_body, (x0, r0, z0, jnp.sum(r0 * z0)), None, length=cg_iters
+    )
+
+    # Back-substitute points: dp = Hpp^-1 (bp - Hpc dc)
+    hpc_dc = jnp.einsum("nmji,mj->ni", Hcp, delta_cam)
+    delta_pts = jnp.einsum("nij,nj->ni", Hpp_inv, bp - hpc_dc)
+    return delta_cam, delta_pts
+
+
+def _apply_update(state: BAState, delta_cam, delta_pts, fix_first_cam: bool):
+    if fix_first_cam:
+        delta_cam = delta_cam.at[0].set(0.0)
+    rot_new = jax.vmap(lambda d, R: _exp_so3(d) @ R)(delta_cam[:, :3], state.rot)
+    trans_new = state.trans + delta_cam[:, 3:]
+    return BAState(rot=rot_new, trans=trans_new, points=state.points + delta_pts)
+
+
+def _total_cost(tracks: Tracks, state: BAState, huber_delta: float):
+    r, _, _ = _build_system(tracks, state, huber_delta)
+    return jnp.sum(r * r)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 4))
+def ba_solve(
+    tracks: Tracks,
+    num_iterations: int = 10,
+    cg_iters: int = 20,
+    huber_delta: float = 2.0,
+    fix_first_cam: bool = True,
+    lm_lambda: float = 1e-3,
+) -> Tuple[BAState, jnp.ndarray]:
+    """Run Gauss-Newton BA. Returns (refined state, per-iter cost history)."""
+    state = BAState(
+        rot=tracks.cam_from_world_rot,
+        trans=tracks.cam_from_world_trans,
+        points=tracks.points3d,
+    )
+
+    def gn_step(carry, _):
+        state, lam = carry
+        r, Jc, Jp = _build_system(tracks, state, huber_delta)
+        delta_cam, delta_pts = _schur_solve(
+            r, Jc, Jp, lam, cg_iters, fix_first_cam
+        )
+        new_state = _apply_update(state, delta_cam, delta_pts, fix_first_cam)
+        old_cost = jnp.sum(r * r)
+        new_cost = _total_cost(tracks, new_state, huber_delta)
+        improved = new_cost < old_cost
+        # Levenberg lambda adaptation; reject steps that worsen the cost.
+        state = jax.tree.map(
+            lambda new, old: jnp.where(improved, new, old), new_state, state
+        )
+        lam = jnp.where(improved, lam * 0.5, lam * 4.0)
+        lam = jnp.clip(lam, 1e-8, 1e4)
+        return (state, lam), new_cost
+
+    (state, _), costs = jax.lax.scan(
+        gn_step, (state, jnp.asarray(lm_lambda)), None, length=num_iterations
+    )
+    return state, costs
+
+
+def refined_camera_poses(state: BAState) -> jnp.ndarray:
+    """BA state -> (M, 4, 4) cam2world poses."""
+    rot_c2w = jnp.swapaxes(state.rot, -1, -2)
+    t_c2w = -jnp.einsum("mij,mj->mi", rot_c2w, state.trans)
+    top = jnp.concatenate([rot_c2w, t_c2w[..., None]], axis=-1)
+    bottom = jnp.broadcast_to(
+        jnp.asarray([0.0, 0, 0, 1]), (state.rot.shape[0], 1, 4)
+    )
+    return jnp.concatenate([top, bottom], axis=-2)

@@ -1,0 +1,131 @@
+"""Correspondence tracks from feed-forward dense predictions.
+
+The reference's BA stage extracts tracks with a learned VGGSfM tracker
+(``mapanything/third_party/track_predict.py:23``, ALIKED/SuperPoint
+keypoints + transformer refiner) before calling pycolmap's C++ BA
+(``scripts/demo_colmap.py:466-485``). Here tracks come directly from the
+model's own dense geometry — sample confident pixels, unproject with the
+predicted depth, reproject into every other view with the predicted
+poses/intrinsics, and keep observations where the projected depth agrees
+with that view's predicted depth (the same consistency test as the
+frustum mask, geometry/frustum.py). Fully vectorized jnp; static shapes
+(fixed points-per-view, masked validity).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from mapanything_tpu.geometry.transforms import closed_form_pose_inverse
+
+
+@flax.struct.dataclass
+class Tracks:
+    """BA problem inputs, static shapes with validity masks.
+
+    N = num points (tracks), M = num cameras.
+    """
+
+    points3d: jnp.ndarray  # (N, 3) initial world points
+    observations_uv: jnp.ndarray  # (N, M, 2) pixel observations
+    valid: jnp.ndarray  # (N, M) bool observation validity
+    intrinsics: jnp.ndarray  # (M, 3, 3)
+    cam_from_world_rot: jnp.ndarray  # (M, 3, 3) w2c rotations (initial)
+    cam_from_world_trans: jnp.ndarray  # (M, 3) w2c translations (initial)
+
+
+def extract_tracks_from_predictions(
+    pts3d: jnp.ndarray,
+    depth_z: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    camera_poses: jnp.ndarray,
+    conf: jnp.ndarray,
+    mask: jnp.ndarray,
+    points_per_view: int = 512,
+    depth_consistency_rtol: float = 0.05,
+    rng_seed: int = 0,
+) -> Tracks:
+    """Build multi-view tracks from one scene's dense predictions.
+
+    Args:
+        pts3d: (V, H, W, 3) predicted world points.
+        depth_z: (V, H, W) predicted z-depth per view.
+        intrinsics: (V, 3, 3); camera_poses: (V, 4, 4) cam2world.
+        conf: (V, H, W) confidence; mask: (V, H, W) validity.
+        points_per_view: tracks seeded per view (static).
+
+    Returns:
+        Tracks with N = V * points_per_view.
+    """
+    V, H, W = depth_z.shape
+    K = points_per_view
+
+    # Seed selection: top-confidence valid pixels per view, jittered by a
+    # random tiebreak so seeds spread spatially.
+    key = jax.random.PRNGKey(rng_seed)
+    noise = jax.random.uniform(key, (V, H, W)) * 1e-3
+    score = jnp.where(mask, conf + noise, -jnp.inf)
+    flat_score = score.reshape(V, H * W)
+    top_idx = jnp.argsort(-flat_score, axis=1)[:, :K]  # (V, K)
+    seed_valid = jnp.take_along_axis(
+        mask.reshape(V, H * W), top_idx, axis=1
+    )  # (V, K)
+
+    # Seed 3D points from the predicted pointmaps.
+    pts_flat = pts3d.reshape(V, H * W, 3)
+    seeds3d = jnp.take_along_axis(pts_flat, top_idx[..., None], axis=1)  # (V, K, 3)
+    points3d = seeds3d.reshape(V * K, 3)
+
+    # Project every point into every camera.
+    w2c = closed_form_pose_inverse(camera_poses)  # (V, 4, 4)
+    rot = w2c[:, :3, :3]  # (M, 3, 3)
+    trans = w2c[:, :3, 3]  # (M, 3)
+    cam_pts = (
+        jnp.einsum("mij,nj->nmi", rot, points3d) + trans[None]
+    )  # (N, M, 3)
+    z = cam_pts[..., 2]
+    uvw = jnp.einsum("mij,nmj->nmi", intrinsics, cam_pts)
+    safe_z = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+    uv = uvw[..., :2] / safe_z[..., None]  # (N, M, 2)
+
+    in_bounds = (
+        (uv[..., 0] >= 0) & (uv[..., 0] <= W - 1)
+        & (uv[..., 1] >= 0) & (uv[..., 1] <= H - 1) & (z > 0)
+    )
+
+    # Depth consistency against each view's predicted z-depth (nearest px).
+    ui = jnp.clip(jnp.round(uv[..., 0]).astype(jnp.int32), 0, W - 1)
+    vi = jnp.clip(jnp.round(uv[..., 1]).astype(jnp.int32), 0, H - 1)
+    flat = vi * W + ui  # (N, M)
+    depth_flat = depth_z.reshape(V, H * W)
+    mask_flat = mask.reshape(V, H * W)
+    # gather per camera m: depth_flat[m, flat[:, m]]
+    gathered_d = _gather_per_cam(depth_flat, flat)
+    gathered_m = _gather_per_cam(mask_flat, flat)
+    depth_ok = (
+        jnp.abs(gathered_d - z) / jnp.maximum(jnp.abs(gathered_d), 1e-6)
+        < depth_consistency_rtol
+    )
+
+    valid = in_bounds & depth_ok & gathered_m.astype(bool)
+    valid = valid & seed_valid.reshape(V * K)[:, None]
+    # Keep only tracks observed in >= 2 views.
+    valid = valid & (jnp.sum(valid, axis=1, keepdims=True) >= 2)
+
+    return Tracks(
+        points3d=points3d,
+        observations_uv=uv,
+        valid=valid,
+        intrinsics=intrinsics,
+        cam_from_world_rot=rot,
+        cam_from_world_trans=trans,
+    )
+
+
+def _gather_per_cam(src: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """src (M, HW), idx (N, M) -> out (N, M) with out[n, m] = src[m, idx[n, m]]."""
+    return jax.vmap(lambda s, i: s[i], in_axes=(0, 1), out_axes=1)(src, idx)

@@ -1,0 +1,147 @@
+"""Bundle adjustment tests: synthetic problems with known ground truth."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from mapanything_tpu.ba.solver import BAState, ba_solve, refined_camera_poses
+from mapanything_tpu.ba.tracks import Tracks, extract_tracks_from_predictions
+
+
+def synthetic_problem(M=4, N=60, noise_px=0.0, pose_noise=0.0, seed=0):
+    """Cameras on an arc looking at a point cloud; perfect observations."""
+    rng = np.random.RandomState(seed)
+    points = rng.uniform(-1, 1, (N, 3)).astype(np.float64)
+    points[:, 2] += 6.0
+
+    K = np.array([[300.0, 0, 128.0], [0, 300.0, 96.0], [0, 0, 1]])
+    rots, transs, uvs = [], [], []
+    for m in range(M):
+        angle = (m - M / 2) * 0.15
+        R_c2w = Rotation.from_euler("y", angle).as_matrix()
+        c = np.array([np.sin(angle) * 6.0, 0.0, 6.0 - np.cos(angle) * 6.0])
+        R_w2c = R_c2w.T
+        t_w2c = -R_w2c @ c
+        cam_pts = points @ R_w2c.T + t_w2c
+        uv = (cam_pts @ K.T)
+        uv = uv[:, :2] / uv[:, 2:3]
+        uvs.append(uv + rng.randn(N, 2) * noise_px)
+        # perturb the initial pose estimates
+        dR = Rotation.from_rotvec(rng.randn(3) * pose_noise).as_matrix()
+        rots.append(dR @ R_w2c)
+        transs.append(t_w2c + rng.randn(3) * pose_noise * 5)
+
+    tracks = Tracks(
+        points3d=jnp.asarray(points + rng.randn(N, 3) * pose_noise, jnp.float32),
+        observations_uv=jnp.asarray(np.stack(uvs, axis=1), jnp.float32),
+        valid=jnp.ones((N, M), bool),
+        intrinsics=jnp.asarray(np.stack([K] * M), jnp.float32),
+        cam_from_world_rot=jnp.asarray(np.stack(rots), jnp.float32),
+        cam_from_world_trans=jnp.asarray(np.stack(transs), jnp.float32),
+    )
+    gt_rot = np.stack([Rotation.from_euler("y", (m - M / 2) * 0.15).as_matrix().T for m in range(M)])
+    return tracks, gt_rot
+
+
+class TestBASolver:
+    def test_zero_residual_stays_put(self):
+        tracks, _ = synthetic_problem(pose_noise=0.0)
+        state, costs = ba_solve(tracks, 5, 15)
+        assert float(costs[-1]) < 1e-4
+        np.testing.assert_allclose(
+            np.asarray(state.points), np.asarray(tracks.points3d), atol=1e-3
+        )
+
+    def test_recovers_from_perturbed_poses(self):
+        tracks, gt_rot = synthetic_problem(pose_noise=0.01, seed=1)
+        init_rot = np.asarray(tracks.cam_from_world_rot)
+        # BA should crush the cost (camera 0 stays frozen at its perturbed
+        # pose, so the optimum is the gauge-transformed GT; a nearby local
+        # min with sub-pixel residuals is acceptable).
+        state, costs = ba_solve(tracks, 12, 40)
+        n_obs = int(np.asarray(tracks.valid).sum())
+        rms_px = float(np.sqrt(costs[-1] / n_obs))
+        # costs[i] is the cost after step i; the pre-BA cost is ~3000 here.
+        assert rms_px < 1.0, f"rms reprojection {rms_px} px"
+        # relative rotations (gauge-free) must beat the perturbed init
+        rec = np.asarray(state.rot)
+
+        def rel_err(rots):
+            errs = []
+            for m in range(1, len(gt_rot)):
+                rel = rots[m] @ rots[0].T
+                gt_rel = gt_rot[m] @ gt_rot[0].T
+                errs.append(Rotation.from_matrix(rel @ gt_rel.T).magnitude())
+            return np.mean(errs)
+
+        assert rel_err(rec) < rel_err(init_rot) * 0.5, (
+            rel_err(rec), rel_err(init_rot)
+        )
+
+    def test_robust_to_outliers(self):
+        tracks, _ = synthetic_problem(pose_noise=0.005, seed=2)
+        # corrupt 10% of observations
+        rng = np.random.RandomState(0)
+        uv = np.asarray(tracks.observations_uv).copy()
+        n_out = int(0.1 * uv.shape[0])
+        uv[:n_out, 1] += 80.0
+        tracks = tracks.replace(observations_uv=jnp.asarray(uv))
+        state, costs = ba_solve(tracks, 12, 25)
+        assert float(costs[-1]) < float(costs[0])
+
+    def test_refined_poses_shape(self):
+        tracks, _ = synthetic_problem()
+        state, _ = ba_solve(tracks, 3, 10)
+        poses = refined_camera_poses(state)
+        assert poses.shape == (4, 4, 4)
+        # bottom rows are [0,0,0,1]
+        np.testing.assert_allclose(
+            np.asarray(poses[:, 3]), np.tile([0, 0, 0, 1], (4, 1)), atol=1e-6
+        )
+
+
+class TestTrackExtraction:
+    def test_consistent_scene_tracks(self):
+        # Build a consistent synthetic scene: plane at z=4 seen by 3 cams.
+        V, H, W = 3, 32, 48
+        K = np.array([[40.0, 0, W / 2 - 0.5], [0, 40.0, H / 2 - 0.5], [0, 0, 1]], np.float32)
+        rng = np.random.RandomState(0)
+        poses, pts_list, depth_list = [], [], []
+        for v in range(V):
+            pose = np.eye(4, dtype=np.float32)
+            pose[0, 3] = v * 0.2
+            poses.append(pose)
+        for v in range(V):
+            yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+            depth = np.full((H, W), 4.0, np.float32)
+            x_cam = (xx - K[0, 2]) * depth / K[0, 0]
+            y_cam = (yy - K[1, 2]) * depth / K[1, 1]
+            pts_cam = np.stack([x_cam, y_cam, depth], -1)
+            pts_w = pts_cam + poses[v][:3, 3]
+            pts_list.append(pts_w)
+            depth_list.append(depth)
+
+        tracks = extract_tracks_from_predictions(
+            jnp.asarray(np.stack(pts_list)),
+            jnp.asarray(np.stack(depth_list)),
+            jnp.broadcast_to(jnp.asarray(K), (V, 3, 3)),
+            jnp.asarray(np.stack(poses)),
+            conf=jnp.ones((V, H, W)),
+            mask=jnp.ones((V, H, W), bool),
+            points_per_view=64,
+        )
+        valid = np.asarray(tracks.valid)
+        assert valid.any(), "no valid observations"
+        # plane is visible from all cams for central points: expect many
+        # tracks with >= 2 observations
+        assert (valid.sum(1) >= 2).sum() > 50
+
+        # BA on these perfect tracks should start near zero cost
+        state, costs = ba_solve(tracks, 3, 10)
+        assert float(costs[-1]) <= float(costs[0]) + 1e-3
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q", "-x"])
