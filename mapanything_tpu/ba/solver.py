@@ -32,16 +32,22 @@ from mapanything_tpu.ba.tracks import Tracks
 
 
 def _exp_so3(w: jnp.ndarray) -> jnp.ndarray:
-    """Axis-angle (3,) -> rotation matrix via Rodrigues (safe at 0)."""
-    theta = jnp.linalg.norm(w)
-    safe = jnp.maximum(theta, 1e-12)
-    k = w / safe
+    """Axis-angle (3,) -> rotation matrix via Rodrigues, differentiable at 0.
+
+    Branch-free Taylor-guarded form: R = I + A K + B K^2 with K = skew(w),
+    A = sin(t)/t, B = (1 - cos t)/t^2, switching to their series near t = 0.
+    (A hard ``where(theta < eps, I, R)`` would zero the Jacobian at the
+    linearization point w = 0 — the BA system differentiates exactly there.)
+    """
+    theta2 = jnp.sum(w * w)
+    theta = jnp.sqrt(theta2 + 1e-24)
+    small = theta2 < 1e-8
+    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, 1e-24))
     K = jnp.array(
-        [[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]], w.dtype
+        [[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]], w.dtype
     )
-    s, c = jnp.sin(theta), jnp.cos(theta)
-    R = jnp.eye(3, dtype=w.dtype) + s * K + (1 - c) * (K @ K)
-    return jnp.where(theta < 1e-10, jnp.eye(3, dtype=w.dtype), R)
+    return jnp.eye(3, dtype=w.dtype) + A * K + B * (K @ K)
 
 
 def _project(K, R0, rot_delta, trans, point):
