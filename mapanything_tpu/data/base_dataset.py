@@ -120,6 +120,8 @@ class BaseDataset(EasyDataset):
         self._seed_offset = offset
 
     # ------------------------------------------------------------------
+    use_native_sampler: bool = True
+
     def _random_walk_sampling(
         self,
         covis: np.ndarray,
@@ -127,7 +129,22 @@ class BaseDataset(EasyDataset):
         max_retries: int = 4,
         use_bidirectional_covis: bool = True,
     ) -> np.ndarray:
-        """Connected-subgraph sampling by random walk + backtracking (:316)."""
+        """Connected-subgraph sampling by random walk + backtracking (:316).
+
+        Uses the C++ sampler (mapanything_tpu/native) when available — the
+        Python walk is the data loader's hot host path; falls back to the
+        numpy implementation transparently.
+        """
+        if self.use_native_sampler:
+            from mapanything_tpu.native import covis_random_walk_native
+
+            seed = int(self._rng.integers(0, 2**63 - 1))
+            result = covis_random_walk_native(
+                covis, self.covisibility_thres, num_of_samples, seed,
+                max_retries, use_bidirectional_covis,
+            )
+            if result is not None:
+                return result
         excluded = set()
         best_walk: list = []
         n = len(covis)

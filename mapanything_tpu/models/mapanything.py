@@ -257,7 +257,10 @@ class MapAnythingConfig:
     use_rand_idx_pe_for_non_reference_views: bool = True
     use_scalable_softmax: bool = False
     use_entropy_scaling: bool = False
-    # heads (dpt_pose_scale.yaml)
+    # heads (dpt_pose_scale.yaml); dense_head_type covers the reference's
+    # pred_head families: dpt(+pose), moge(+pose) [FORK], mae(+pose) [FORK],
+    # linear (model.py:389-421)
+    dense_head_type: str = "dpt"
     dpt_feature_dim: int = 256
     dpt_layer_dims: Tuple[int, ...] = (96, 192, 384, 768)
     dpt_hooks: Tuple[int, ...] = (0, 1, 2, 3)
@@ -520,24 +523,58 @@ class MapAnything(nn.Module):
         ]
         dense_inputs = [x.reshape(B * V, h, w, x.shape[-1]) for x in dense_inputs]
 
-        dpt_feature = DPTFeature(
-            hooks=cfg.dpt_hooks,
-            input_feature_dims=(embed_dim,) + (cfg.info_sharing_dim,) * 3,
-            layer_dims=cfg.dpt_layer_dims,
-            feature_dim=cfg.dpt_feature_dim,
-            name="dpt_feature_head",
-        )
-        dpt_regressor = DPTRegressionProcessor(
-            output_dim=cfg.dense_adaptor.num_channels, name="dpt_regressor_head"
-        )
         pose_head = PoseHead(
             patch_size=cfg.patch_size,
             num_resconv_block=cfg.pose_head_num_resconv,
             name="pose_head",
         )
 
-        def run_dense(chunk):
-            return dpt_regressor(dpt_feature(chunk), (H, W))
+        n_dense_ch = cfg.dense_adaptor.num_channels
+        if cfg.dense_head_type == "dpt":
+            dpt_feature = DPTFeature(
+                hooks=cfg.dpt_hooks,
+                input_feature_dims=(embed_dim,) + (cfg.info_sharing_dim,) * 3,
+                layer_dims=cfg.dpt_layer_dims,
+                feature_dim=cfg.dpt_feature_dim,
+                name="dpt_feature_head",
+            )
+            dpt_regressor = DPTRegressionProcessor(
+                output_dim=n_dense_ch, name="dpt_regressor_head"
+            )
+
+            def run_dense(chunk):
+                return dpt_regressor(dpt_feature(chunk), (H, W))
+
+        elif cfg.dense_head_type == "moge":
+            from mapanything_tpu.models.heads.moge_conv import MoGeConvFeature
+
+            moge = MoGeConvFeature(output_dim=n_dense_ch, name="moge_head")
+
+            def run_dense(chunk):
+                return moge(chunk, (H, W))
+
+        elif cfg.dense_head_type == "mae":
+            from mapanything_tpu.models.heads.mae import MAEGeneralDecoder
+
+            mae = MAEGeneralDecoder(
+                output_dim=n_dense_ch, patch_size=cfg.patch_size, name="mae_head"
+            )
+
+            def run_dense(chunk):
+                return mae(chunk, (H, W))
+
+        elif cfg.dense_head_type == "linear":
+            from mapanything_tpu.models.heads.pose import LinearFeature
+
+            lin = LinearFeature(
+                output_dim=n_dense_ch, patch_size=cfg.patch_size, name="linear_head"
+            )
+
+            def run_dense(chunk):
+                return lin(chunk[-1])
+
+        else:
+            raise ValueError(f"invalid dense_head_type: {cfg.dense_head_type}")
 
         if cfg.head_chunk_size and cfg.head_chunk_size < B * V:
             n = B * V

@@ -75,6 +75,7 @@ class LossBatch:
     valid_non_ambiguous_mask: jnp.ndarray  # (B, V, H, W) bool
     is_metric_scale: jnp.ndarray  # (B,) bool
     is_synthetic: jnp.ndarray  # (B,) bool
+    target_rgb: Optional[jnp.ndarray] = None  # (B, V, H, W, 3) in [0, 1] [FORK]
 
 
 @dataclass(frozen=True)
@@ -93,6 +94,7 @@ class LossConfig:
     gm_scales: int = 4
     apply_normal_gm_to_synthetic_only: bool = True
     mask_loss_weight: float = 0.3
+    rgb_loss_weight: float = 1.0  # [FORK] RGB prediction loss
     # term weights (all 1 in production)
     world_points_weight: float = 1.0
     cam_points_weight: float = 1.0
@@ -430,6 +432,15 @@ def factored_geometry_scale_loss(
     total = total + normal_loss + gm_loss
     details["normal_loss"] = normal_loss
     details["gm_loss"] = gm_loss
+
+    # [FORK] RGB color regression (RGBColorRegressionLoss, losses.py:769):
+    # per-view masked L1 between predicted RGB (in [0, 1]) and the target
+    # image, applied where the view is valid.
+    if preds.rgb is not None and batch.target_rgb is not None:
+        rgb_l1 = jnp.sum(jnp.abs(preds.rgb - batch.target_rgb), axis=-1)
+        rgb_loss = jnp.sum(masked_mean(rgb_l1, valid, axis=(0, 2, 3)))
+        total = total + cfg.rgb_loss_weight * rgb_loss
+        details["rgb_loss"] = rgb_loss
 
     # Non-ambiguous mask BCE (NonAmbiguousMaskLoss, losses.py:719)
     if preds.non_ambiguous_mask_logits is not None:

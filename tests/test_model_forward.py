@@ -134,3 +134,38 @@ class TestForward:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+class TestHeadVariants:
+    """Dense-head family dispatch: moge / mae / linear + RGB scene rep."""
+
+    def _views(self):
+        return make_views(with_geometry=False)
+
+    @pytest.mark.parametrize("head", ["moge", "mae", "linear"])
+    def test_dense_head_types(self, head):
+        cfg = MapAnythingConfig.small(dense_head_type=head)
+        model = MapAnything(cfg)
+        views = self._views()
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), views)
+        preds = model.apply(params, views)
+        assert preds.pts3d.shape == (B, V, H, W, 3)
+        assert bool(jnp.isfinite(preds.pts3d).all())
+
+    def test_rgb_scene_rep(self):
+        from mapanything_tpu.models.heads.adaptors import DenseAdaptorConfig
+
+        cfg = MapAnythingConfig.small(
+            scene_rep_type="raydirs+depth+rgb+pose",
+            dense_adaptor=DenseAdaptorConfig(
+                components=("ray_directions", "depth", "rgb"),
+                with_confidence=True,
+                with_mask=True,
+            ),
+        )
+        model = MapAnything(cfg)
+        views = self._views()
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), views)
+        preds = model.apply(params, views)
+        assert preds.rgb.shape == (B, V, H, W, 3)
+        assert bool(jnp.all((preds.rgb >= 0) & (preds.rgb <= 1)))
