@@ -30,7 +30,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 512
+# Tuned on TPU v5e at trunk-scale token counts (8 views x 37x37 patches):
+# (1024, 512) beats (512, 512) by ~8% and XLA attention by ~1.7x; larger
+# blocks exceed the 16 MB VMEM scoped limit with the 128-lane lse buffers.
+DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 512
 NEG_INF = -1e30
 

@@ -163,3 +163,20 @@ class TestViewShardedInference:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+class TestFrustumMaskRefinement:
+    def test_refine_batch(self):
+        from mapanything_tpu.train.masks import refine_batch_with_frustum_masks
+
+        batch, _ = perfect_batch_and_preds(B=1, V=3)
+        B, V, H, W = batch.valid_mask.shape
+        K = jnp.broadcast_to(
+            jnp.asarray([[40.0, 0, W / 2 - 0.5], [0, 40.0, H / 2 - 0.5], [0, 0, 1]]),
+            (B, V, 3, 3),
+        )
+        refined = refine_batch_with_frustum_masks(batch, K)
+        # each view re-observes itself -> masks should stay mostly on
+        m = np.asarray(refined.non_ambiguous_mask)
+        assert m.mean() > 0.9
+        assert refined.valid_mask.shape == batch.valid_mask.shape
