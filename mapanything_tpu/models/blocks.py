@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from mapanything_tpu.ops.attention import (
@@ -356,3 +357,94 @@ class CrossAttentionBlock(nn.Module):
             name="mlp",
         )(y, deterministic)
         return x + dp(make_ls("ls3")(y), deterministic)
+
+
+def _lambda_init_fn(depth: int) -> float:
+    """DiffTransformer lambda schedule (reference transformer_blocks.py)."""
+    import math
+
+    return 0.8 - 0.6 * math.exp(-0.3 * depth)
+
+
+class RMSNorm(nn.Module):
+    """Root-mean-square LayerNorm (reference transformer_blocks.py RMSNorm)."""
+
+    dim: int
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        y = x * jax.lax.rsqrt(var + self.eps).astype(x.dtype)
+        return y * scale.astype(x.dtype)
+
+
+class DiffAttention(nn.Module):
+    """Differential self-attention (arXiv:2410.05258; reference :641).
+
+    Heads are split into two groups whose attention maps are subtracted
+    with a learned lambda, suppressing attention noise; the per-head output
+    is RMS-normalized and rescaled by (1 - lambda_init).
+    """
+
+    dim: int
+    depth: int
+    num_heads: int = 8
+    qkv_bias: bool = False
+    rope: Optional[Callable] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, xpos=None, deterministic: bool = True):
+        B, N, C = x.shape
+        head_dim = self.dim // self.num_heads // 2
+        lambda_init = _lambda_init_fn(self.depth)
+
+        qkv = nn.Dense(
+            self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+            kernel_init=default_kernel_init, name="qkv",
+        )(x).reshape(B, N, 3, self.num_heads, head_dim * 2)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        q = q.reshape(B, N, 2 * self.num_heads, head_dim)
+        k = k.reshape(B, N, 2 * self.num_heads, head_dim)
+        v = v.reshape(B, N, self.num_heads, 2 * head_dim)
+
+        if self.rope is not None:
+            q = self.rope(q, xpos)
+            k = self.rope(k, xpos)
+
+        q1, q2 = q[:, :, : self.num_heads], q[:, :, self.num_heads :]
+        k1, k2 = k[:, :, : self.num_heads], k[:, :, self.num_heads :]
+
+        # v's head dim (2*Dh) differs from q/k's (Dh), so fused SDPA does
+        # not apply; explicit softmax attention (ablation-only path).
+        scale = head_dim**-0.5
+
+        def attend(qh, kh):
+            logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * scale
+            w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+            return jnp.einsum("bhqk,bkhd->bqhd", w, v)
+
+        attn1 = attend(q1, k1)
+        attn2 = attend(q2, k2)
+
+        lam_q1 = self.param("lambda_q1", nn.initializers.normal(0.1), (head_dim,))
+        lam_k1 = self.param("lambda_k1", nn.initializers.normal(0.1), (head_dim,))
+        lam_q2 = self.param("lambda_q2", nn.initializers.normal(0.1), (head_dim,))
+        lam_k2 = self.param("lambda_k2", nn.initializers.normal(0.1), (head_dim,))
+        lam_1 = jnp.exp(jnp.sum(lam_q1 * lam_k1))
+        lam_2 = jnp.exp(jnp.sum(lam_q2 * lam_k2))
+        lam = (lam_1 - lam_2 + lambda_init).astype(attn1.dtype)
+
+        attn = attn1 - lam * attn2  # (B, N, H, 2*Dh)
+        attn = RMSNorm(2 * head_dim, dtype=self.dtype, name="subln")(attn)
+        attn = attn * (1 - lambda_init)
+        attn = attn.reshape(B, N, self.num_heads * 2 * head_dim)
+
+        out = nn.Dense(
+            self.dim, dtype=self.dtype, kernel_init=default_kernel_init, name="proj"
+        )(attn)
+        return out

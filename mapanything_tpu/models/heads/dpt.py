@@ -176,3 +176,25 @@ class DPTRegressionProcessor(nn.Module):
         x = nn.relu(x)
         x = nn.Conv(self.output_dim, (1, 1), dtype=self.dtype, name="conv2_1")(x)
         return x
+
+
+class DPTSegmentationProcessor(nn.Module):
+    """Segmentation-style decoder over the 8x feature map (reference :314).
+
+    conv3x3 + BN-free norm + ReLU + dropout-free + conv1x1, then bilinear
+    to the target shape.
+    """
+
+    output_dim: int
+    hidden_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray, output_shape_hw) -> jnp.ndarray:
+        c = features.shape[-1]
+        hidden = self.hidden_dim or c
+        x = nn.Conv(hidden, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+                    name="conv1")(features)
+        x = nn.relu(x)
+        x = nn.Conv(self.output_dim, (1, 1), dtype=self.dtype, name="conv2")(x)
+        return _resize_bilinear_align_corners(x, output_shape_hw)

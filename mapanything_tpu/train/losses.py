@@ -456,3 +456,60 @@ def factored_geometry_scale_loss(
 
     details["total_loss"] = total
     return total, details
+
+
+# --------------------------------------------------------------------------
+# Simpler loss-zoo members (parity with the non-production criteria)
+# --------------------------------------------------------------------------
+
+
+def l1_distance(a, b):
+    """L1Loss distance (losses.py:333): per-element abs summed over channels."""
+    return jnp.sum(jnp.abs(a - b), axis=-1)
+
+
+def l2_distance(a, b):
+    """L2Loss distance (losses.py:340): euclidean norm over channels."""
+    return jnp.linalg.norm(a - b, axis=-1)
+
+
+def dust3r_regr3d_conf_loss(
+    gt_pts3d: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    gt_pose0: Tuple[jnp.ndarray, jnp.ndarray],
+    pred_pts3d: jnp.ndarray,
+    pred_conf: jnp.ndarray,
+    conf_alpha: float = 0.2,
+    norm_mode: str = "avg_dis",
+    loss_in_log: bool = False,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """DUSt3R-style Regr3D + ConfLoss (losses.py:1475 + :919).
+
+    Both GT and predictions are expressed in view 0's frame, normalized
+    independently by avg_dis, compared with L2 distance, and confidence-
+    weighted (loss * conf - alpha * log conf).
+
+    Args:
+        gt_pts3d: (B, V, H, W, 3) GT world points.
+        gt_valid: (B, V, H, W) bool.
+        gt_pose0: (quats (B, 4), trans (B, 3)) of GT view 0 (cam2world).
+        pred_pts3d: (B, V, H, W, 3) predictions already in view-0 frame.
+        pred_conf: (B, V, H, W) confidences (>= 1).
+    """
+    q0, t0 = gt_pose0
+    inv_q0 = quat_inverse(q0)
+    gt_v0 = quat_rotate(
+        inv_q0[:, None, None, None, :], gt_pts3d - t0[:, None, None, None, :]
+    )
+    gt_n, _ = normalize_pointcloud(gt_v0, gt_valid, norm_mode, True)
+    pr_n, _ = normalize_pointcloud(pred_pts3d, gt_valid, norm_mode, True)
+    if loss_in_log:
+        gt_n = apply_log_to_norm(gt_n)
+        pr_n = apply_log_to_norm(pr_n)
+
+    pix = l2_distance(pr_n, gt_n)  # (B, V, H, W)
+    conf_weighted = pix * pred_conf - conf_alpha * jnp.log(pred_conf)
+    per_view = masked_mean(conf_weighted, gt_valid, axis=(0, 2, 3))
+    total = jnp.sum(per_view)
+    return total, {"regr3d_conf_loss": total,
+                   "regr3d_l2": masked_mean(pix, gt_valid)}

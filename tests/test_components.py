@@ -170,3 +170,36 @@ class TestConfigSystem:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+class TestDiffAttentionAndSeg:
+    def test_diff_attention_shapes(self):
+        from mapanything_tpu.models.blocks import DiffAttention
+
+        m = DiffAttention(dim=64, depth=3, num_heads=4)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 64), jnp.float32)
+        p = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(p, x)
+        assert out.shape == (2, 16, 64)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_dpt_segmentation_processor(self):
+        from mapanything_tpu.models.heads.dpt import DPTSegmentationProcessor
+
+        m = DPTSegmentationProcessor(output_dim=5)
+        x = jnp.zeros((1, 16, 16, 32))
+        p = m.init(jax.random.PRNGKey(0), x, (64, 64))
+        out = m.apply(p, x, (64, 64))
+        assert out.shape == (1, 64, 64, 5)
+
+    def test_encoder_factory(self):
+        from mapanything_tpu.models.encoders import encoder_factory
+
+        enc = encoder_factory("patch_embedder", patch_size=14, embed_dim=32)
+        x = jnp.zeros((1, 28, 28, 3))
+        p = enc.init(jax.random.PRNGKey(0), x)
+        assert enc.apply(p, x).shape == (1, 2, 2, 32)
+        with pytest.raises(NotImplementedError):
+            encoder_factory("cosmos")
+        with pytest.raises(KeyError):
+            encoder_factory("nope")
