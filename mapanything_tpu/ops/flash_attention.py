@@ -306,8 +306,18 @@ def flash_attention(
     if scale is None:
         scale = d**-0.5
 
-    bq = min(block_q, _pad_to(tq, 128))
-    bk = min(block_k, _pad_to(tk, 128))
+    # Adaptive blocks: padding to block multiples wastes whole q-rows, so
+    # shrink blocks for short sequences (e.g. frame attention at 1369
+    # tokens: bq=1024 pads to 2048 [+50% work], bq=512 pads to 1536 [+12%]).
+    def pick_block(t, pref):
+        best = min(pref, _pad_to(t, 128))
+        for cand in (pref, pref // 2, pref // 4):
+            if cand >= 128 and _pad_to(t, cand) - t < _pad_to(t, best) - t:
+                best = cand
+        return best
+
+    bq = pick_block(tq, block_q)
+    bk = pick_block(tk, block_k)
     tq_pad = _pad_to(tq, bq)
     tk_pad = _pad_to(tk, bk)
 

@@ -82,6 +82,7 @@ class LossBatch:
 class LossConfig:
     """Production loss hyperparameters (overall_loss.yaml)."""
 
+    criterion: str = "robust"  # robust | l1 | l2 (FactoredLLoss parity)
     robust_alpha: float = 0.5
     robust_scaling_c: float = 0.05
     norm_mode: str = "avg_dis"
@@ -258,9 +259,16 @@ def factored_geometry_scale_loss(
     """
     B, V, H, W, _ = batch.pts3d.shape
     P = H * W
-    crit = lambda a, b: robust_regression_distance(
-        a, b, cfg.robust_alpha, cfg.robust_scaling_c
-    )
+    if cfg.criterion == "robust":
+        crit = lambda a, b: robust_regression_distance(
+            a, b, cfg.robust_alpha, cfg.robust_scaling_c
+        )
+    elif cfg.criterion == "l1":
+        crit = lambda a, b: jnp.sum(jnp.abs(a - b), axis=-1)
+    elif cfg.criterion == "l2":
+        crit = lambda a, b: jnp.linalg.norm(a - b, axis=-1)
+    else:
+        raise ValueError(f"unknown criterion {cfg.criterion}")
 
     valid = batch.valid_mask  # (B, V, H, W)
 
