@@ -62,8 +62,13 @@ def sdpa(
         scale = q.shape[-1] ** -0.5
 
     if implementation == "auto":
+        # Measured on v5e: the Pallas flash kernel wins for long sequences
+        # (1.7x XLA at 11k tokens, 15x at 5.5k where XLA has a cliff), but
+        # XLA's fused attention wins for short, highly batched shapes
+        # (encoder frame attention at 1369 tokens x batch 8: XLA 21% faster
+        # end-to-end). Route by sequence length.
         on_tpu = jax.default_backend() not in ("cpu",)
-        use_pallas = on_tpu and mask is None and q.shape[1] >= 1024
+        use_pallas = on_tpu and mask is None and q.shape[1] >= 2048
         implementation = "pallas" if use_pallas else "xla"
 
     if implementation == "pallas":
