@@ -226,7 +226,12 @@ class CrossAttention(nn.Module):
 
 
 class SelfAttentionBlock(nn.Module):
-    """Pre-norm self-attention transformer block (reference :370)."""
+    """Pre-norm self-attention transformer block (reference :370).
+
+    With ``differential=True`` the attention is :class:`DiffAttention`
+    (reference DiffSelfAttentionBlock, transformer_blocks.py:903);
+    ``layer_depth`` seeds the lambda schedule.
+    """
 
     dim: int
     num_heads: int
@@ -242,6 +247,8 @@ class SelfAttentionBlock(nn.Module):
     use_entropy_scaling: bool = False
     base_token_count_for_entropy_scaling: int = 444
     entropy_scaling_growth_factor: float = 1.4
+    differential: bool = False
+    layer_depth: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -259,21 +266,32 @@ class SelfAttentionBlock(nn.Module):
         dp = DropPath(self.drop_path)
 
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        y = Attention(
-            dim=self.dim,
-            num_heads=self.num_heads,
-            qkv_bias=self.qkv_bias,
-            qk_norm=self.qk_norm,
-            attn_drop=self.attn_drop,
-            proj_drop=self.proj_drop,
-            rope=self.rope,
-            use_scalable_softmax=self.use_scalable_softmax,
-            use_entropy_scaling=self.use_entropy_scaling,
-            base_token_count_for_entropy_scaling=self.base_token_count_for_entropy_scaling,
-            entropy_scaling_growth_factor=self.entropy_scaling_growth_factor,
-            dtype=self.dtype,
-            name="attn",
-        )(y, xpos, deterministic)
+        if self.differential:
+            y = DiffAttention(
+                dim=self.dim,
+                depth=self.layer_depth,
+                num_heads=self.num_heads,
+                qkv_bias=self.qkv_bias,
+                rope=self.rope,
+                dtype=self.dtype,
+                name="attn",
+            )(y, xpos, deterministic)
+        else:
+            y = Attention(
+                dim=self.dim,
+                num_heads=self.num_heads,
+                qkv_bias=self.qkv_bias,
+                qk_norm=self.qk_norm,
+                attn_drop=self.attn_drop,
+                proj_drop=self.proj_drop,
+                rope=self.rope,
+                use_scalable_softmax=self.use_scalable_softmax,
+                use_entropy_scaling=self.use_entropy_scaling,
+                base_token_count_for_entropy_scaling=self.base_token_count_for_entropy_scaling,
+                entropy_scaling_growth_factor=self.entropy_scaling_growth_factor,
+                dtype=self.dtype,
+                name="attn",
+            )(y, xpos, deterministic)
         x = x + dp(ls1(y), deterministic)
 
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
@@ -288,7 +306,12 @@ class SelfAttentionBlock(nn.Module):
 
 
 class CrossAttentionBlock(nn.Module):
-    """Self-attn + cross-attn + MLP decoder block (reference :472)."""
+    """Self-attn + cross-attn + MLP decoder block (reference :472).
+
+    With ``differential=True`` the cross-attention is
+    :class:`DiffCrossAttention` while the self-attention stays standard
+    (reference DiffCrossAttentionBlock, transformer_blocks.py:952).
+    """
 
     dim: int
     num_heads: int
@@ -303,6 +326,8 @@ class CrossAttentionBlock(nn.Module):
     rope: Optional[Callable] = None
     use_scalable_softmax: bool = False
     use_entropy_scaling: bool = False
+    differential: bool = False
+    layer_depth: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -336,17 +361,29 @@ class CrossAttentionBlock(nn.Module):
             else context
         )
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        y = CrossAttention(
-            dim=self.dim,
-            num_heads=self.num_heads,
-            qkv_bias=self.qkv_bias,
-            qk_norm=self.qk_norm,
-            rope=self.rope,
-            use_scalable_softmax=self.use_scalable_softmax,
-            use_entropy_scaling=self.use_entropy_scaling,
-            dtype=self.dtype,
-            name="cross_attn",
-        )(y, mem, mem, xpos, cpos, deterministic)
+        if self.differential:
+            y = DiffCrossAttention(
+                dim=self.dim,
+                depth=self.layer_depth,
+                num_heads=self.num_heads,
+                qkv_bias=self.qkv_bias,
+                qk_norm=self.qk_norm,
+                rope=self.rope,
+                dtype=self.dtype,
+                name="cross_attn",
+            )(y, mem, mem, xpos, cpos, deterministic)
+        else:
+            y = CrossAttention(
+                dim=self.dim,
+                num_heads=self.num_heads,
+                qkv_bias=self.qkv_bias,
+                qk_norm=self.qk_norm,
+                rope=self.rope,
+                use_scalable_softmax=self.use_scalable_softmax,
+                use_entropy_scaling=self.use_entropy_scaling,
+                dtype=self.dtype,
+                name="cross_attn",
+            )(y, mem, mem, xpos, cpos, deterministic)
         x = x + dp(make_ls("ls2")(y), deterministic)
 
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm3")(x)
@@ -443,6 +480,80 @@ class DiffAttention(nn.Module):
         attn = RMSNorm(2 * head_dim, dtype=self.dtype, name="subln")(attn)
         attn = attn * (1 - lambda_init)
         attn = attn.reshape(B, N, self.num_heads * 2 * head_dim)
+
+        out = nn.Dense(
+            self.dim, dtype=self.dtype, kernel_init=default_kernel_init, name="proj"
+        )(attn)
+        return out
+
+
+class DiffCrossAttention(nn.Module):
+    """Differential cross-attention (reference transformer_blocks.py:762).
+
+    Same noise-cancelling two-group mechanism as :class:`DiffAttention`,
+    with separate q/k/v projections so queries and context differ.
+    """
+
+    dim: int
+    depth: int
+    num_heads: int = 8
+    qkv_bias: bool = False
+    qk_norm: bool = False
+    rope: Optional[Callable] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, key, value, qpos=None, kpos=None, deterministic=True):
+        B, Nq, C = query.shape
+        Nk = key.shape[1]
+        head_dim = self.dim // self.num_heads // 2
+        lambda_init = _lambda_init_fn(self.depth)
+
+        def proj(inp, n_tok, n_heads, d, name):
+            return nn.Dense(
+                self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                kernel_init=default_kernel_init, name=name,
+            )(inp).reshape(B, n_tok, n_heads, d)
+
+        q = proj(query, Nq, 2 * self.num_heads, head_dim, "projq")
+        k = proj(key, Nk, 2 * self.num_heads, head_dim, "projk")
+        v = proj(value, Nk, self.num_heads, 2 * head_dim, "projv")
+
+        if self.qk_norm:
+            q = nn.LayerNorm(dtype=self.dtype, name="q_norm")(q)
+            k = nn.LayerNorm(dtype=self.dtype, name="k_norm")(k)
+
+        if self.rope is not None:
+            if qpos is not None:
+                q = self.rope(q, qpos)
+            if kpos is not None:
+                k = self.rope(k, kpos)
+
+        q1, q2 = q[:, :, : self.num_heads], q[:, :, self.num_heads :]
+        k1, k2 = k[:, :, : self.num_heads], k[:, :, self.num_heads :]
+
+        scale = head_dim**-0.5
+
+        def attend(qh, kh):
+            logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * scale
+            w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+            return jnp.einsum("bhqk,bkhd->bqhd", w, v)
+
+        attn1 = attend(q1, k1)
+        attn2 = attend(q2, k2)
+
+        lam_q1 = self.param("lambda_q1", nn.initializers.normal(0.1), (head_dim,))
+        lam_k1 = self.param("lambda_k1", nn.initializers.normal(0.1), (head_dim,))
+        lam_q2 = self.param("lambda_q2", nn.initializers.normal(0.1), (head_dim,))
+        lam_k2 = self.param("lambda_k2", nn.initializers.normal(0.1), (head_dim,))
+        lam_1 = jnp.exp(jnp.sum(lam_q1 * lam_k1))
+        lam_2 = jnp.exp(jnp.sum(lam_q2 * lam_k2))
+        lam = (lam_1 - lam_2 + lambda_init).astype(attn1.dtype)
+
+        attn = attn1 - lam * attn2  # (B, Nq, H, 2*Dh)
+        attn = RMSNorm(2 * head_dim, dtype=self.dtype, name="subln")(attn)
+        attn = attn * (1 - lambda_init)
+        attn = attn.reshape(B, Nq, self.num_heads * 2 * head_dim)
 
         out = nn.Dense(
             self.dim, dtype=self.dtype, kernel_init=default_kernel_init, name="proj"

@@ -7,9 +7,12 @@ concatenated tokens of all other views; optional weight sharing between
 the reference branch (view 0) and the non-reference branches.
 
 The differential-attention variant of the reference
-(``diff_cross_attention_transformer.py:22``) is covered by the same module
-via the blocks' qk-norm options; DiffAttention proper is tracked for a
-later round.
+(``diff_cross_attention_transformer.py:22``,
+DifferentialMultiViewCrossAttentionTransformer) is the same module with
+``differential=True``: each branch block keeps standard self-attention but
+cross-attends with noise-cancelling DiffCrossAttention, using half the
+head count at the same per-head dim (reference passes ``num_heads // 2``
+to DiffCrossAttentionBlock) and a per-layer lambda schedule.
 """
 
 from __future__ import annotations
@@ -32,6 +35,7 @@ class CrossAttentionTransformer(nn.Module):
     share_non_reference_weights: bool = True  # one branch for all non-ref views
     indices: Optional[Sequence[int]] = None
     norm_intermediate: bool = True
+    differential: bool = False  # DiffCrossAttention variant
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -60,14 +64,24 @@ class CrossAttentionTransformer(nn.Module):
         take = set(self.indices or ())
         intermediates = []
 
+        if self.differential:
+            assert self.num_heads % 2 == 0, (
+                "num_heads must be even for differential cross-attention"
+            )
+        # Differential blocks take the halved head count at the same
+        # per-head dim (reference diff_cross_attention_transformer.py:118).
+        heads = self.num_heads // 2 if self.differential else self.num_heads
+
         for layer in range(self.depth):
             ref_block = CrossAttentionBlock(
-                dim=self.dim, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
-                qkv_bias=self.qkv_bias, dtype=self.dtype, name=f"ref_block_{layer}",
+                dim=self.dim, num_heads=heads, mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias, differential=self.differential,
+                layer_depth=layer, dtype=self.dtype, name=f"ref_block_{layer}",
             )
             non_ref_block = CrossAttentionBlock(
-                dim=self.dim, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
-                qkv_bias=self.qkv_bias, dtype=self.dtype,
+                dim=self.dim, num_heads=heads, mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias, differential=self.differential,
+                layer_depth=layer, dtype=self.dtype,
                 name=f"nonref_block_{layer}",
             ) if V > 1 else None
 

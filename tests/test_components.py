@@ -109,6 +109,32 @@ class TestInfoSharingVariants:
         assert out.shape == (1, 3, 4, 4, 96)
         assert len(inters) == 1
 
+    def test_diff_cross_attention(self):
+        # Differential variant (reference diff_cross_attention_transformer.py:22)
+        m = CrossAttentionTransformer(
+            input_embed_dim=64, depth=2, dim=96, num_heads=4, indices=(0,),
+            differential=True,
+        )
+        feats = self._features()
+        params = m.init(jax.random.PRNGKey(0), feats)
+        out, inters = m.apply(params, feats)
+        assert out.shape == (1, 3, 4, 4, 96)
+        assert len(inters) == 1
+        assert np.isfinite(np.asarray(out)).all()
+        # diff lambdas live under the cross_attn of every branch block
+        ca = params["params"]["ref_block_0"]["cross_attn"]
+        assert "lambda_q1" in ca and "subln" in ca
+
+    def test_diff_self_attention_block(self):
+        from mapanything_tpu.models.blocks import SelfAttentionBlock
+
+        m = SelfAttentionBlock(dim=64, num_heads=4, differential=True, layer_depth=2)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 64), jnp.float32)
+        p = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(p, x)
+        assert out.shape == (2, 16, 64)
+        assert np.isfinite(np.asarray(out)).all()
+
 
 class TestModularDUSt3R:
     def test_forward(self):
