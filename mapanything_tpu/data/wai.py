@@ -58,7 +58,10 @@ def load_depth(path) -> np.ndarray:
     if path.endswith(".exr"):
         d = cv2.imread(path, cv2.IMREAD_UNCHANGED)
         if d is None:
-            raise FileNotFoundError(path)
+            # cv2 built without the OpenEXR codec: use the native reader.
+            from mapanything_tpu.utils.exr import read_depth_exr
+
+            return read_depth_exr(path)
         if d.ndim == 3:
             d = d[..., 0]
         return d.astype(np.float32)
