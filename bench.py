@@ -25,6 +25,12 @@ import time
 
 import numpy as np
 
+# First stable measurement of this benchmark on the v5e chip (round 1,
+# before kernel tuning): 15.3 views/s. vs_baseline reports the ratio
+# against it until reference checkpoints can be replicated on equal
+# hardware (see module docstring).
+ROUND1_VIEWS_PER_S = 15.3
+
 
 def main():
     import jax
@@ -91,7 +97,9 @@ def main():
                 "metric": f"{V}-view {H}px images-only metric inference throughput",
                 "value": round(views_per_s, 3),
                 "unit": "views/s/chip",
-                "vs_baseline": 1.0,
+                "vs_baseline": (
+                    round(views_per_s / ROUND1_VIEWS_PER_S, 3) if on_tpu else 1.0
+                ),
             }
         )
     )

@@ -62,13 +62,15 @@ def sdpa(
         scale = q.shape[-1] ** -0.5
 
     if implementation == "auto":
-        # Measured on v5e: the Pallas flash kernel wins for long sequences
-        # (1.7x XLA at 11k tokens, 15x at 5.5k where XLA has a cliff), but
-        # XLA's fused attention wins for short, highly batched shapes
-        # (encoder frame attention at 1369 tokens x batch 8: XLA 21% faster
-        # end-to-end). Route by sequence length.
+        # Measured on v5e INSIDE a jitted multi-layer program (per-call
+        # microbenchmarks are dominated by dispatch overhead on remote
+        # transports and mislead): the Pallas kernel wins at every model
+        # regime — frame attention 8x1369 tokens 1.8x faster than XLA's
+        # fused attention, global attention 1x10953 1.8-3.2x. Keep XLA for
+        # short sequences (<1024) where k-block padding dominates, for
+        # masks, and on CPU.
         on_tpu = jax.default_backend() not in ("cpu",)
-        use_pallas = on_tpu and mask is None and q.shape[1] >= 2048
+        use_pallas = on_tpu and mask is None and q.shape[1] >= 1024
         implementation = "pallas" if use_pallas else "xla"
 
     if implementation == "pallas":

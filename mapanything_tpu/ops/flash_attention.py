@@ -30,11 +30,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Tuned on TPU v5e at trunk-scale token counts (8 views x 37x37 patches):
-# (1024, 512) beats (512, 512) by ~8% and XLA attention by ~1.7x; larger
-# blocks exceed the 16 MB VMEM scoped limit with the 128-lane lse buffers.
+# Tuned on TPU v5e at trunk-scale token counts inside jitted multi-layer
+# stacks: (1024, 1024) wins at both the frame regime (8 x 1369 tokens,
+# 45 -> 39 ms / 12 layers vs bk=512) and the global regime (1 x 10953,
+# 166 -> 92 ms / 12 layers); bq=2048 regresses (104 ms) and bk=2048 gives
+# no further gain (100 ms).
 DEFAULT_BLOCK_Q = 1024
-DEFAULT_BLOCK_K = 512
+DEFAULT_BLOCK_K = 1024
 NEG_INF = -1e30
 
 
