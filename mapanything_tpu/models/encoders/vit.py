@@ -26,6 +26,7 @@ from mapanything_tpu.models.blocks import SelfAttentionBlock
 
 VIT_SIZES = {
     # name: (embed_dim, depth, num_heads)
+    "test": (64, 4, 4),  # unit-test scale
     "small": (384, 12, 6),
     "base": (768, 12, 12),
     "large": (1024, 24, 16),

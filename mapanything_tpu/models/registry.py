@@ -60,8 +60,36 @@ def _build_modular_dust3r(**overrides):
     return ModularDUSt3R(cfg)
 
 
+@register_model("vggt")
+def _build_vggt(size: str = "full", **overrides):
+    """Native VGGT baseline (reference external/vggt/, arXiv:2503.11651).
+
+    Weights: upstream facebook/VGGT-1B checkpoints require network access;
+    this builds the architecture (random init or your converted params).
+    """
+    from mapanything_tpu.models.external.vggt import VGGTConfig, VGGTWrapper
+
+    cfg = (
+        VGGTConfig.small(**overrides) if size == "small"
+        else VGGTConfig(**overrides)
+    )
+    return VGGTWrapper(cfg)
+
+
+@register_model("moge")
+def _build_moge(size: str = "full", **overrides):
+    """Native MoGe v1 baseline (reference external/moge/, arXiv:2410.19115)."""
+    from mapanything_tpu.models.external.moge import MoGeConfig, MoGeWrapper
+
+    cfg = (
+        MoGeConfig.small(**overrides) if size == "small"
+        else MoGeConfig(**overrides)
+    )
+    return MoGeWrapper(cfg)
+
+
 _EXTERNAL_MODELS = [
-    "vggt", "moge", "pi3", "dust3r_ba", "mast3r_sga", "must3r", "pow3r",
+    "pi3", "dust3r_ba", "mast3r_sga", "must3r", "pow3r",
     "pow3r_ba", "anycalib",
 ]
 for _name in _EXTERNAL_MODELS:

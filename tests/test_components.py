@@ -159,8 +159,9 @@ class TestRegistry:
             assert name in MODEL_REGISTRY
 
     def test_external_raise(self):
+        # vggt/moge are now native; the rest still raise with guidance
         with pytest.raises(NotImplementedError):
-            init_model("vggt")
+            init_model("pi3")
 
     def test_ablations_scene_rep(self):
         m = init_model("mapanything_ablations", scene_rep_type="pointmap")
