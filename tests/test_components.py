@@ -226,7 +226,7 @@ class TestDiffAttentionAndSeg:
         x = jnp.zeros((1, 28, 28, 3))
         p = enc.init(jax.random.PRNGKey(0), x)
         assert enc.apply(p, x).shape == (1, 2, 2, 32)
-        with pytest.raises(NotImplementedError):
-            encoder_factory("cosmos")
+        # cosmos/radio are native now; unknown names still KeyError
+        assert encoder_factory("cosmos") is not None
         with pytest.raises(KeyError):
             encoder_factory("nope")

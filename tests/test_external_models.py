@@ -109,3 +109,38 @@ class TestMoGe:
     def test_registry(self):
         wrapper = init_model("moge", size="small")
         assert isinstance(wrapper, MoGeWrapper)
+
+
+class TestRadioCosmosEncoders:
+    def test_radio_encoder(self):
+        from mapanything_tpu.models.encoders import encoder_factory
+
+        enc = encoder_factory("radio", size_override="test", patch_size=16)
+        x = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 3), jnp.float32)
+        p = jax.jit(enc.init)(jax.random.PRNGKey(0), x)
+        out = enc.apply(p, x)
+        assert out.shape == (1, 2, 2, 64)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_cosmos_encoder(self):
+        from mapanything_tpu.models.encoders import encoder_factory
+
+        enc = encoder_factory(
+            "cosmos", patch_size=8, channels=16, channels_mult=(2, 2, 2)
+        )
+        x = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 3), jnp.float32)
+        p = jax.jit(enc.init)(jax.random.PRNGKey(0), x)
+        out = enc.apply(p, x)
+        assert out.shape == (1, 4, 4, 16)  # spatial compression 8, latent 16
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_haar_energy_preserving(self):
+        from mapanything_tpu.models.encoders.cosmos import haar_downsample
+
+        x = jnp.asarray(np.random.RandomState(0).randn(1, 8, 8, 2), jnp.float32)
+        y = haar_downsample(x)
+        assert y.shape == (1, 4, 4, 8)
+        # orthonormal haar transform preserves total energy
+        np.testing.assert_allclose(
+            float(jnp.sum(x**2)), float(jnp.sum(y**2)), rtol=1e-5
+        )
