@@ -103,6 +103,125 @@ def convert_dinov2_vit(state: Mapping[str, np.ndarray]) -> Dict:
     return params
 
 
+def _convert_vit_block(sd: Mapping[str, np.ndarray], p: str) -> Dict:
+    """One DINOv2/VGGT-style Block: norm1/attn(qkv,proj[,q_norm,k_norm])/
+    ls1/norm2/mlp/ls2 -> our SelfAttentionBlock tree."""
+    block = {
+        "norm1": layer_norm(sd[p + "norm1.weight"], sd[p + "norm1.bias"]),
+        "norm2": layer_norm(sd[p + "norm2.weight"], sd[p + "norm2.bias"]),
+        "attn": {
+            "qkv": linear(sd[p + "attn.qkv.weight"], sd.get(p + "attn.qkv.bias")),
+            "proj": linear(
+                sd[p + "attn.proj.weight"], sd.get(p + "attn.proj.bias")
+            ),
+        },
+        "mlp": {
+            "fc1": linear(sd[p + "mlp.fc1.weight"], sd[p + "mlp.fc1.bias"]),
+            "fc2": linear(sd[p + "mlp.fc2.weight"], sd[p + "mlp.fc2.bias"]),
+        },
+    }
+    if p + "attn.q_norm.weight" in sd:
+        block["attn"]["q_norm"] = layer_norm(
+            sd[p + "attn.q_norm.weight"], sd[p + "attn.q_norm.bias"]
+        )
+        block["attn"]["k_norm"] = layer_norm(
+            sd[p + "attn.k_norm.weight"], sd[p + "attn.k_norm.bias"]
+        )
+    if p + "ls1.gamma" in sd:
+        block["ls1"] = {"gamma": sd[p + "ls1.gamma"]}
+        block["ls2"] = {"gamma": sd[p + "ls2.gamma"]}
+    return block
+
+
+def convert_vggt(state: Mapping[str, np.ndarray]) -> Dict:
+    """facebook/VGGT-1B state dict -> our ``models/external/vggt.VGGT``
+    aggregator + camera-head param tree.
+
+    Upstream names (vendored reference ``external/vggt/models/aggregator.py``
+    and ``heads/camera_head.py``):
+
+    - ``aggregator.patch_embed.*``  : a full DINOv2 ViT -> convert via
+      :func:`convert_dinov2_vit` on the stripped sub-dict;
+    - ``aggregator.camera_token`` (1, 2, 1, C) / ``register_token``
+      (1, 2, 4, C) -> our (2, n, C) parameters;
+    - ``aggregator.frame_blocks.N.*`` / ``global_blocks.N.*`` -> our
+      ``frame_block_N`` / ``global_block_N`` (qk-norm blocks);
+    - ``camera_head.{token_norm, trunk.N, trunk_norm, empty_pose_tokens,
+      embed_pose, poseLN_modulation.1, pose_branch.fc1/fc2}``.
+
+    The depth DPT head uses a structurally different decomposition in this
+    framework (DPTFeature/DPTRegressionProcessor vs upstream's fused
+    DPTHead); converting it needs the released weights to validate and is
+    intentionally not attempted here — ``verify_tree_shapes`` will list it
+    as missing so partial loads are explicit.
+    """
+    sd = {k: _t(v) for k, v in state.items()}
+    params: Dict = {"aggregator": {}, "camera_head": {}}
+    agg = params["aggregator"]
+
+    patch_sub = {
+        k[len("aggregator.patch_embed."):]: v
+        for k, v in sd.items()
+        if k.startswith("aggregator.patch_embed.")
+    }
+    if patch_sub:
+        if "patch_embed.proj.weight" in patch_sub:  # full ViT backbone
+            agg["patch_embed"] = convert_dinov2_vit(patch_sub)
+        else:  # plain conv ("conv" patch embed option)
+            agg["patch_embed"] = conv2d(
+                patch_sub["proj.weight"], patch_sub.get("proj.bias")
+            )
+
+    agg["camera_token"] = sd["aggregator.camera_token"][0]
+    agg["register_token"] = sd["aggregator.register_token"][0]
+
+    for kind in ("frame", "global"):
+        n = 1 + max(
+            int(m.group(1))
+            for k in sd
+            if (m := re.match(rf"aggregator\.{kind}_blocks\.(\d+)\.", k))
+        )
+        for i in range(n):
+            agg[f"{kind}_block_{i}"] = _convert_vit_block(
+                sd, f"aggregator.{kind}_blocks.{i}."
+            )
+
+    cam = params["camera_head"]
+    cam["token_norm"] = layer_norm(
+        sd["camera_head.token_norm.weight"], sd["camera_head.token_norm.bias"]
+    )
+    cam["trunk_norm"] = layer_norm(
+        sd["camera_head.trunk_norm.weight"], sd["camera_head.trunk_norm.bias"]
+    )
+    cam["empty_pose_tokens"] = sd["camera_head.empty_pose_tokens"]
+    cam["embed_pose"] = linear(
+        sd["camera_head.embed_pose.weight"], sd["camera_head.embed_pose.bias"]
+    )
+    # poseLN_modulation is Sequential(SiLU, Linear) -> index 1
+    cam["poseLN_modulation"] = linear(
+        sd["camera_head.poseLN_modulation.1.weight"],
+        sd["camera_head.poseLN_modulation.1.bias"],
+    )
+    n_trunk = 1 + max(
+        int(m.group(1))
+        for k in sd
+        if (m := re.match(r"camera_head\.trunk\.(\d+)\.", k))
+    )
+    for i in range(n_trunk):
+        cam[f"trunk_{i}"] = _convert_vit_block(sd, f"camera_head.trunk.{i}.")
+    cam["pose_branch"] = {
+        "fc1": linear(
+            sd["camera_head.pose_branch.fc1.weight"],
+            sd["camera_head.pose_branch.fc1.bias"],
+        ),
+        "fc2": linear(
+            sd["camera_head.pose_branch.fc2.weight"],
+            sd["camera_head.pose_branch.fc2.bias"],
+        ),
+    }
+    return params
+
+
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Read a .pth/.pt checkpoint to a numpy state dict (CPU torch)."""
     import torch

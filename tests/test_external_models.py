@@ -111,6 +111,162 @@ class TestMoGe:
         assert isinstance(wrapper, MoGeWrapper)
 
 
+class TestVGGTConversion:
+    """convert_vggt rules vs inline torch replicas of upstream modules."""
+
+    def _torch_qknorm_block(self, dim, heads):
+        torch = pytest.importorskip("torch")
+        import torch.nn as tnn
+
+        class Block(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                hd = dim // heads
+                self.norm1 = tnn.LayerNorm(dim, eps=1e-6)
+                self.attn = tnn.Module()
+                self.attn.qkv = tnn.Linear(dim, dim * 3)
+                self.attn.proj = tnn.Linear(dim, dim)
+                self.attn.q_norm = tnn.LayerNorm(hd)
+                self.attn.k_norm = tnn.LayerNorm(hd)
+                self.ls1 = tnn.Module()
+                self.ls1.gamma = tnn.Parameter(torch.full((dim,), 0.01))
+                self.norm2 = tnn.LayerNorm(dim, eps=1e-6)
+                self.mlp = tnn.Module()
+                self.mlp.fc1 = tnn.Linear(dim, dim * 4)
+                self.mlp.fc2 = tnn.Linear(dim * 4, dim)
+                self.ls2 = tnn.Module()
+                self.ls2.gamma = tnn.Parameter(torch.full((dim,), 0.01))
+
+            def forward(self, x):
+                b, n, c = x.shape
+                y = self.norm1(x)
+                qkv = (
+                    self.attn.qkv(y)
+                    .reshape(b, n, 3, heads, c // heads)
+                    .permute(2, 0, 3, 1, 4)
+                )
+                q, k, v = qkv[0], qkv[1], qkv[2]
+                q, k = self.attn.q_norm(q), self.attn.k_norm(k)
+                y = torch.nn.functional.scaled_dot_product_attention(q, k, v)
+                y = y.permute(0, 2, 1, 3).reshape(b, n, c)
+                x = x + self.ls1.gamma * self.attn.proj(y)
+                y = self.norm2(x)
+                y = self.mlp.fc2(torch.nn.functional.gelu(self.mlp.fc1(y)))
+                return x + self.ls2.gamma * y
+
+        return Block()
+
+    def test_qknorm_block_parity(self):
+        torch = pytest.importorskip("torch")
+        from mapanything_tpu.models.blocks import SelfAttentionBlock
+        from mapanything_tpu.utils.torch_convert import _convert_vit_block
+
+        dim, heads = 32, 4
+        tblock = self._torch_qknorm_block(dim, heads)
+        sd = {
+            "b.0." + k: v.detach().numpy()
+            for k, v in tblock.state_dict().items()
+        }
+        params = _convert_vit_block(sd, "b.0.")
+
+        x = np.random.RandomState(0).randn(2, 9, dim).astype(np.float32)
+        with torch.no_grad():
+            ref = tblock(torch.from_numpy(x)).numpy()
+
+        fblock = SelfAttentionBlock(
+            dim=dim, num_heads=heads, qkv_bias=True, qk_norm=True,
+            init_values=0.01,
+        )
+        out = fblock.apply({"params": params}, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+    def test_convert_vggt_full_tree(self):
+        """Synthetic VGGT-1B-style state dict converts into a tree that
+        loads into our small VGGT (aggregator + camera head subtrees)."""
+        torch = pytest.importorskip("torch")
+        from mapanything_tpu.utils.torch_convert import (
+            convert_vggt,
+            verify_tree_shapes,
+        )
+
+        cfg = VGGTConfig.small()
+        wrapper = VGGTWrapper(cfg)
+        images = jnp.zeros((1, 2, 28, 28, 3))
+        target = jax.jit(wrapper.init)(jax.random.PRNGKey(0), images)["params"]
+
+        dim, heads, hd = cfg.embed_dim, cfg.num_heads, cfg.embed_dim // cfg.num_heads
+        sd = {}
+        sd["aggregator.camera_token"] = np.zeros((1, 2, 1, dim), np.float32)
+        sd["aggregator.register_token"] = np.zeros(
+            (1, 2, cfg.num_register_tokens, dim), np.float32
+        )
+        sd["aggregator.patch_embed.proj.weight"] = np.zeros(
+            (dim, 3, 14, 14), np.float32
+        )
+        sd["aggregator.patch_embed.proj.bias"] = np.zeros((dim,), np.float32)
+
+        def block_sd(prefix, d, h):
+            hdim = d // h
+            out = {
+                f"{prefix}norm1.weight": np.ones((d,), np.float32),
+                f"{prefix}norm1.bias": np.zeros((d,), np.float32),
+                f"{prefix}norm2.weight": np.ones((d,), np.float32),
+                f"{prefix}norm2.bias": np.zeros((d,), np.float32),
+                f"{prefix}attn.qkv.weight": np.zeros((3 * d, d), np.float32),
+                f"{prefix}attn.qkv.bias": np.zeros((3 * d,), np.float32),
+                f"{prefix}attn.proj.weight": np.zeros((d, d), np.float32),
+                f"{prefix}attn.proj.bias": np.zeros((d,), np.float32),
+                f"{prefix}attn.q_norm.weight": np.ones((hdim,), np.float32),
+                f"{prefix}attn.q_norm.bias": np.zeros((hdim,), np.float32),
+                f"{prefix}attn.k_norm.weight": np.ones((hdim,), np.float32),
+                f"{prefix}attn.k_norm.bias": np.zeros((hdim,), np.float32),
+                f"{prefix}ls1.gamma": np.full((d,), 0.01, np.float32),
+                f"{prefix}ls2.gamma": np.full((d,), 0.01, np.float32),
+                f"{prefix}mlp.fc1.weight": np.zeros((4 * d, d), np.float32),
+                f"{prefix}mlp.fc1.bias": np.zeros((4 * d,), np.float32),
+                f"{prefix}mlp.fc2.weight": np.zeros((d, 4 * d), np.float32),
+                f"{prefix}mlp.fc2.bias": np.zeros((d,), np.float32),
+            }
+            return out
+
+        for i in range(cfg.depth):
+            sd.update(block_sd(f"aggregator.frame_blocks.{i}.", dim, heads))
+            sd.update(block_sd(f"aggregator.global_blocks.{i}.", dim, heads))
+
+        d2 = 2 * dim
+        sd["camera_head.token_norm.weight"] = np.ones((d2,), np.float32)
+        sd["camera_head.token_norm.bias"] = np.zeros((d2,), np.float32)
+        sd["camera_head.trunk_norm.weight"] = np.ones((d2,), np.float32)
+        sd["camera_head.trunk_norm.bias"] = np.zeros((d2,), np.float32)
+        sd["camera_head.empty_pose_tokens"] = np.zeros((1, 1, 9), np.float32)
+        sd["camera_head.embed_pose.weight"] = np.zeros((d2, 9), np.float32)
+        sd["camera_head.embed_pose.bias"] = np.zeros((d2,), np.float32)
+        sd["camera_head.poseLN_modulation.1.weight"] = np.zeros(
+            (3 * d2, d2), np.float32
+        )
+        sd["camera_head.poseLN_modulation.1.bias"] = np.zeros(
+            (3 * d2,), np.float32
+        )
+        for i in range(cfg.camera_trunk_depth):
+            sd.update(block_sd(f"camera_head.trunk.{i}.", d2, heads))
+        sd["camera_head.pose_branch.fc1.weight"] = np.zeros(
+            (d2 // 2, d2), np.float32
+        )
+        sd["camera_head.pose_branch.fc1.bias"] = np.zeros((d2 // 2,), np.float32)
+        sd["camera_head.pose_branch.fc2.weight"] = np.zeros((9, d2 // 2), np.float32)
+        sd["camera_head.pose_branch.fc2.bias"] = np.zeros((9,), np.float32)
+
+        converted = convert_vggt(sd)
+        problems = verify_tree_shapes(
+            converted["aggregator"], target["aggregator"]
+        )
+        assert not problems, problems
+        problems = verify_tree_shapes(
+            converted["camera_head"], target["camera_head"]
+        )
+        assert not problems, problems
+
+
 class TestRadioCosmosEncoders:
     def test_radio_encoder(self):
         from mapanything_tpu.models.encoders import encoder_factory
