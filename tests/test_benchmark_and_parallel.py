@@ -180,3 +180,41 @@ class TestFrustumMaskRefinement:
         m = np.asarray(refined.non_ambiguous_mask)
         assert m.mean() > 0.9
         assert refined.valid_mask.shape == batch.valid_mask.shape
+
+
+class TestRMVDMetrics:
+    def test_perfect_prediction(self):
+        from mapanything_tpu.benchmarking.rmvd_mvs import rmvd_depth_metrics
+
+        gt = np.random.RandomState(0).uniform(1, 5, (16, 16)).astype(np.float32)
+        m = rmvd_depth_metrics(gt.copy(), gt)
+        assert m["absrel"] == pytest.approx(0.0, abs=1e-5)
+        assert m["inlier103"] == pytest.approx(100.0)
+        assert m["scale"] == pytest.approx(1.0)
+
+    def test_scale_ambiguity_aligned(self):
+        from mapanything_tpu.benchmarking.rmvd_mvs import rmvd_depth_metrics
+
+        gt = np.random.RandomState(1).uniform(1, 5, (16, 16)).astype(np.float32)
+        m = rmvd_depth_metrics(gt * 0.25, gt, align_scale=True)
+        # median scaling recovers the global factor exactly
+        assert m["scale"] == pytest.approx(4.0, rel=1e-5)
+        assert m["absrel"] == pytest.approx(0.0, abs=1e-4)
+        m_noalign = rmvd_depth_metrics(gt * 0.25, gt, align_scale=False)
+        assert m_noalign["absrel"] == pytest.approx(75.0, rel=1e-3)
+
+    def test_invalid_gt_excluded(self):
+        from mapanything_tpu.benchmarking.rmvd_mvs import rmvd_depth_metrics
+
+        gt = np.ones((4, 4), np.float32)
+        gt[0] = 0.0  # invalid rows
+        pred = np.ones((4, 4), np.float32)
+        pred[0] = 100.0  # wrong only where GT invalid
+        m = rmvd_depth_metrics(pred, gt)
+        assert m["absrel"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_all_invalid_returns_nan(self):
+        from mapanything_tpu.benchmarking.rmvd_mvs import rmvd_depth_metrics
+
+        m = rmvd_depth_metrics(np.ones((4, 4)), np.zeros((4, 4)))
+        assert np.isnan(m["absrel"]) and np.isnan(m["inlier103"])
