@@ -194,6 +194,29 @@ class TestConfigSystem:
         assert cfg["train_params"]["lr"] == 5e-5
         assert cfg["model"]["info_sharing"]["depth"] == 12
 
+    def test_all_task_presets_load(self):
+        """Every reference task preset (configs/model/task/*.yaml, 18
+        presets) maps onto GeometricInputConfig."""
+        import dataclasses
+
+        from mapanything_tpu.models.mapanything import GeometricInputConfig
+
+        fields = {f.name for f in dataclasses.fields(GeometricInputConfig)}
+        task_dir = REPO / "configs" / "model" / "task"
+        names = sorted(p.stem for p in task_dir.glob("*.yaml"))
+        assert len(names) == 18, names
+        for expected in (
+            "images_only", "mvs", "calibrated_sfm", "posed_sfm",
+            "depth_completion", "registration", "aug_training",
+            "pass_through", "rgb_prediction", "mvs_non_metric",
+        ):
+            assert expected in names
+        for name in names:
+            cfg = load_config(task_dir / f"{name}.yaml")
+            known = {k: v for k, v in cfg.items() if k in fields}
+            geo = GeometricInputConfig(**known)
+            assert 0.0 <= geo.overall_prob <= 1.0
+
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
