@@ -576,7 +576,14 @@ class MapAnything(nn.Module):
         else:
             raise ValueError(f"invalid dense_head_type: {cfg.dense_head_type}")
 
-        if cfg.head_chunk_size and cfg.head_chunk_size < B * V:
+        if (
+            cfg.head_chunk_size
+            and cfg.head_chunk_size < B * V
+            and not self.is_initializing()
+        ):
+            # Flax cannot create parameters inside lax.map; during init the
+            # unchunked branch below runs once to build the head params
+            # (same modules, so apply-time chunking sees identical trees).
             n = B * V
             c = cfg.head_chunk_size
             assert n % c == 0, "head_chunk_size must divide B*V"

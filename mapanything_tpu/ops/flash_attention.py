@@ -209,14 +209,19 @@ def _core_fwd(q3, k3, v3, scale, kv_len, block_q, block_k, interpret=False):
         ),
         interpret=interpret,
     )(q3, k3, v3)
-    return o, (q3, k3, v3, o, lse)
+    # The kernel writes identical values to all 128 lse lanes (TPU tiling).
+    # Keep ONE lane as the backward residual: in a 24-layer trained model
+    # the full (bh, tq, 128) fp32 buffers otherwise dominate saved
+    # activations (~48 MB/layer at 8-view 518 px).
+    return o, (q3, k3, v3, o, lse[..., 0])
 
 
 def _core_bwd(scale, kv_len, block_q, block_k, interpret, res, g3):
-    q3, k3, v3, o3, lse = res
+    q3, k3, v3, o3, lse_1 = res
     bh, tq, d = q3.shape
     tk_pad = k3.shape[1]
 
+    lse = jnp.broadcast_to(lse_1[..., None], (bh, tq, 128))
     delta = jnp.sum(
         g3.astype(jnp.float32) * o3.astype(jnp.float32), axis=-1
     )  # (BH, Tq)

@@ -87,7 +87,19 @@ def main():
         image_names=[Path(p).name for p in loaded["paths"]],
     )
     write_model(cams, ims, p3d, out / "sparse", ".bin")
-    print(f"wrote {out}/scene.glb, scene.ply, sparse/ (COLMAP)")
+
+    from mapanything_tpu.utils.viewer import export_viewer_html
+
+    export_viewer_html(
+        out / "viewer.html",
+        pts,
+        colors,
+        camera_poses=np.asarray(outputs.camera_poses[0]),
+        intrinsics=np.asarray(outputs.intrinsics[0]),
+        mask=mask,
+        title=f"{pts.shape[0]}-view reconstruction",
+    )
+    print(f"wrote {out}/scene.glb, scene.ply, sparse/ (COLMAP), viewer.html")
 
 
 def _views_for_init(imgs):

@@ -152,6 +152,22 @@ class TestHeadVariants:
         assert preds.pts3d.shape == (B, V, H, W, 3)
         assert bool(jnp.isfinite(preds.pts3d).all())
 
+    def test_chunked_head_init_and_apply(self):
+        """head_chunk_size < B*V must work for BOTH init (params created
+        outside lax.map) and apply (chunked), with identical outputs."""
+        cfg = MapAnythingConfig.small(head_chunk_size=1)
+        model = MapAnything(cfg)
+        views = self._views()
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), views)  # B*V=2 > 1
+        preds = model.apply(params, views)
+        assert preds.pts3d.shape == (B, V, H, W, 3)
+        # chunked apply == unchunked apply with the same params
+        ref_model = MapAnything(MapAnythingConfig.small())
+        ref = ref_model.apply(params, views)
+        np.testing.assert_allclose(
+            np.asarray(preds.pts3d), np.asarray(ref.pts3d), rtol=1e-4, atol=1e-4
+        )
+
     def test_rgb_scene_rep(self):
         from mapanything_tpu.models.heads.adaptors import DenseAdaptorConfig
 

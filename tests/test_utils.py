@@ -214,3 +214,35 @@ class TestMetrics:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+class TestViewer:
+    def test_export_viewer_html(self, tmp_path):
+        from mapanything_tpu.utils.viewer import export_viewer_html
+        import base64, re
+
+        rng = np.random.RandomState(0)
+        pts = rng.randn(500, 3).astype(np.float32)
+        colors = rng.rand(500, 3).astype(np.float32)
+        pose = np.eye(4); pose[:3, 3] = [0, 0, -3]
+        out = export_viewer_html(
+            tmp_path / "v.html", pts, colors,
+            camera_poses=[pose],
+            mask=np.ones(500, bool),
+        )
+        html = out.read_text()
+        assert "<canvas" in html and "webgl" in html
+        # embedded buffers round-trip
+        pts_b64 = re.search(r'atob\("([^"]*)"\), ch', html).group(1)
+        decoded = np.frombuffer(base64.b64decode(pts_b64), np.float32).reshape(-1, 3)
+        np.testing.assert_array_equal(decoded, pts)
+        assert '"o": [0.0, 0.0, -3.0]' in html or '"o": [0, 0, -3' in html
+
+    def test_mask_and_subsample(self, tmp_path):
+        from mapanything_tpu.utils.viewer import export_viewer_html
+
+        pts = np.zeros((100, 3), np.float32)
+        pts[50:] = np.nan  # non-finite dropped
+        out = export_viewer_html(tmp_path / "v.html", pts, max_points=10)
+        html = out.read_text()
+        assert "10 pts" in html
