@@ -88,9 +88,57 @@ def _build_moge(size: str = "full", **overrides):
     return MoGeWrapper(cfg)
 
 
+@register_model("pi3")
+def _build_pi3(size: str = "full", **overrides):
+    """Native Pi3 baseline (reference external/pi3/, arXiv:2507.13347)."""
+    from mapanything_tpu.models.external.pi3 import Pi3Config, Pi3Wrapper
+
+    cfg = (
+        Pi3Config.small(**overrides) if size == "small"
+        else Pi3Config(**overrides)
+    )
+    return Pi3Wrapper(cfg)
+
+
+@register_model("anycalib")
+def _build_anycalib(size: str = "full", **overrides):
+    """Native AnyCalib baseline (reference external/anycalib/)."""
+    from mapanything_tpu.models.external.anycalib import (
+        AnyCalibConfig,
+        AnyCalibWrapper,
+    )
+
+    cfg = (
+        AnyCalibConfig.small(**overrides) if size == "small"
+        else AnyCalibConfig(**overrides)
+    )
+    return AnyCalibWrapper(cfg)
+
+
+@register_model("dust3r_ba")
+def _build_dust3r_ba(size: str = "full", **kwargs):
+    """Native DUSt3R + global alignment (reference external/dust3r/)."""
+    from mapanything_tpu.models.external.dust3r_ba import DUSt3RBAWrapper
+    from mapanything_tpu.models.modular_dust3r import ModularDUSt3RConfig
+
+    cfg_kw = {k: v for k, v in kwargs.items() if k in
+              ModularDUSt3RConfig.__dataclass_fields__}
+    wrap_kw = {k: v for k, v in kwargs.items() if k not in cfg_kw}
+    if size == "small":
+        cfg_kw.setdefault("enc_embed_dim", 64)
+        cfg_kw.setdefault("enc_depth", 2)
+        cfg_kw.setdefault("enc_num_heads", 4)
+        cfg_kw.setdefault("dec_embed_dim", 64)
+        cfg_kw.setdefault("dec_depth", 2)
+        cfg_kw.setdefault("dec_num_heads", 4)
+        cfg_kw.setdefault("dpt_feature_dim", 32)
+        cfg_kw.setdefault("dpt_layer_dims", (16, 32, 48, 64))
+        cfg_kw.setdefault("indices", (0, 0, 1))
+    return DUSt3RBAWrapper(ModularDUSt3RConfig(**cfg_kw), **wrap_kw)
+
+
 _EXTERNAL_MODELS = [
-    "pi3", "dust3r_ba", "mast3r_sga", "must3r", "pow3r",
-    "pow3r_ba", "anycalib",
+    "mast3r_sga", "must3r", "pow3r", "pow3r_ba",
 ]
 for _name in _EXTERNAL_MODELS:
 

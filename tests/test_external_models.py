@@ -300,3 +300,206 @@ class TestRadioCosmosEncoders:
         np.testing.assert_allclose(
             float(jnp.sum(x**2)), float(jnp.sum(y**2)), rtol=1e-5
         )
+
+
+class TestPi3:
+    def test_forward_shapes_and_pose_validity(self):
+        from mapanything_tpu.models.external.pi3 import Pi3Config, Pi3Wrapper
+
+        w = Pi3Wrapper(Pi3Config.small())
+        imgs = jnp.asarray(
+            np.random.RandomState(0).rand(1, 2, 28, 28, 3).astype(np.float32)
+        )
+        params = jax.jit(w.init)(jax.random.PRNGKey(0), imgs)
+        res = w.apply(params, imgs)
+        assert len(res) == 2
+        assert res[0]["pts3d"].shape == (1, 28, 28, 3)
+        assert res[0]["cam_quats"].shape == (1, 4)
+        # rays are unit, depth positive
+        norms = np.linalg.norm(np.asarray(res[0]["ray_directions"]), axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+        assert (np.asarray(res[0]["depth_along_ray"]) > 0).all()
+        # camera rotations are exactly orthonormal (SVD + Newton-Schulz)
+        out = w.model.apply(params, imgs)
+        R = np.asarray(out["camera_poses"])[0, :, :3, :3]
+        for r in R:
+            np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
+            assert np.linalg.det(r) > 0.99
+        # global points == pose-transformed local points
+        lp = np.asarray(out["local_points"])[0, 0]
+        pose = np.asarray(out["camera_poses"])[0, 0]
+        expect = lp @ pose[:3, :3].T + pose[:3, 3]
+        np.testing.assert_allclose(
+            np.asarray(out["points"])[0, 0], expect, atol=1e-4
+        )
+
+    def test_registry(self):
+        w = init_model("pi3", size="small")
+        assert w.cfg.patch_embed == "conv"
+
+
+class TestAnyCalib:
+    def test_expmap_roundtrip(self):
+        from mapanything_tpu.models.external.anycalib import (
+            expmap_to_rays,
+            rays_to_tangent,
+        )
+
+        t = jnp.asarray(
+            np.random.RandomState(0).randn(32, 2).astype(np.float32) * 0.5
+        )
+        r = expmap_to_rays(t)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(r), axis=-1), 1.0, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(rays_to_tangent(r)), np.asarray(t), atol=1e-5
+        )
+
+    def test_pinhole_fit_recovers_gt(self):
+        from mapanything_tpu.geometry.camera import rays_in_camera_frame
+        from mapanything_tpu.models.external.anycalib import (
+            fit_pinhole_from_rays,
+        )
+
+        K = jnp.asarray([[[200.0, 0, 112], [0, 220.0, 112], [0, 0, 1]]])
+        _, rays = rays_in_camera_frame(
+            K, 224, 224, normalize_to_unit_sphere=True
+        )
+        Kf = fit_pinhole_from_rays(rays, (224, 224))
+        np.testing.assert_allclose(np.asarray(Kf), np.asarray(K), atol=0.5)
+
+    def test_forward_and_registry(self):
+        w = init_model("anycalib", size="small")
+        imgs = jnp.asarray(
+            np.random.RandomState(1).rand(2, 28, 28, 3).astype(np.float32)
+        )
+        params = jax.jit(w.init)(jax.random.PRNGKey(0), imgs)
+        res = w.apply(params, imgs)
+        assert len(res) == 1
+        assert res[0]["ray_directions"].shape == (2, 28, 28, 3)
+        assert res[0]["intrinsics"].shape == (2, 3, 3)
+        norms = np.linalg.norm(np.asarray(res[0]["ray_directions"]), axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+class TestGlobalAlignment:
+    def _make_synthetic(self, V=3, H=16, W=16, seed=0, noise=0.0):
+        from mapanything_tpu.ba.global_alignment import (
+            PairGraph,
+            make_complete_pairs,
+        )
+        from mapanything_tpu.geometry.camera import depthmap_to_camera_frame
+
+        rng = np.random.RandomState(seed)
+        f = 20.0
+        K = np.array(
+            [[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32
+        )
+
+        def rotz(a):
+            c, s = np.cos(a), np.sin(a)
+            return np.array(
+                [[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32
+            )
+
+        c2w = []
+        for v in range(V):
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = rotz(0.1 * v)
+            T[:3, 3] = [0.3 * v, 0.1 * v, 0.05 * v]
+            c2w.append(T)
+        c2w = np.stack(c2w)
+        depth = 2.0 + 0.5 * rng.rand(V, H, W).astype(np.float32)
+        pts_world = []
+        for v in range(V):
+            pc, _ = depthmap_to_camera_frame(
+                jnp.asarray(depth[v][None]), jnp.asarray(K[None])
+            )
+            pc = np.asarray(pc[0])
+            pts_world.append(pc @ c2w[v][:3, :3].T + c2w[v][:3, 3])
+        pts_world = np.stack(pts_world)
+
+        edges = make_complete_pairs(V)
+        w2c = np.linalg.inv(c2w)
+        pts_i, pts_j, conf_i, conf_j = [], [], [], []
+        for i, j in edges:
+            s_e = np.exp(rng.randn() * 0.1)  # per-edge scale ambiguity
+            Xi = (pts_world[i] @ w2c[i][:3, :3].T + w2c[i][:3, 3]) * s_e
+            Xj = (pts_world[j] @ w2c[i][:3, :3].T + w2c[i][:3, 3]) * s_e
+            if noise:
+                Xi = Xi + rng.randn(*Xi.shape).astype(np.float32) * noise
+                Xj = Xj + rng.randn(*Xj.shape).astype(np.float32) * noise
+            pts_i.append(Xi)
+            pts_j.append(Xj)
+            conf_i.append(np.full((H, W), 3.0, np.float32))
+            conf_j.append(np.full((H, W), 3.0, np.float32))
+        graph = PairGraph(
+            V,
+            edges,
+            np.stack(pts_i),
+            np.stack(pts_j),
+            np.stack(conf_i),
+            np.stack(conf_j),
+        )
+        return graph, c2w, w2c, depth, f
+
+    def test_recovers_gt_up_to_gauge(self):
+        from mapanything_tpu.ba.global_alignment import global_align
+        from mapanything_tpu.utils.metrics import rotation_angle_deg
+
+        graph, c2w, w2c, depth, f = self._make_synthetic()
+        scene = global_align(graph, niter=300, lr=0.01)
+        assert scene.loss < 0.01
+        # focal within 5%
+        np.testing.assert_allclose(scene.focals, f, rtol=0.05)
+        # relative rotations within 1 degree
+        for v in range(1, graph.num_views):
+            Rg = w2c[v][:3, :3] @ c2w[0][:3, :3]
+            Rp = (
+                np.linalg.inv(scene.cam2world[v])[:3, :3]
+                @ scene.cam2world[0][:3, :3]
+            )
+            assert rotation_angle_deg(Rg[None], Rp[None])[0] < 1.0
+        # depth consistent up to one global scale (spread < 5%)
+        r = scene.depthmaps / depth
+        assert float(r.std() / r.mean()) < 0.05
+
+    def test_umeyama_exact(self):
+        from mapanything_tpu.ba.global_alignment import weighted_umeyama
+
+        rng = np.random.RandomState(3)
+        src = rng.randn(100, 3).astype(np.float32)
+        ang = 0.3
+        R_gt = np.array(
+            [
+                [np.cos(ang), -np.sin(ang), 0],
+                [np.sin(ang), np.cos(ang), 0],
+                [0, 0, 1],
+            ],
+            np.float32,
+        )
+        s_gt, t_gt = 1.7, np.array([0.2, -0.5, 1.0], np.float32)
+        dst = s_gt * src @ R_gt.T + t_gt
+        w = np.abs(rng.rand(100)).astype(np.float32) + 0.1
+        s, R, t = weighted_umeyama(
+            jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w)
+        )
+        np.testing.assert_allclose(float(s), s_gt, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(R), R_gt, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(t), t_gt, atol=1e-3)
+
+
+class TestDUSt3RBA:
+    def test_end_to_end_small(self):
+        w = init_model("dust3r_ba", size="small", global_optim_niter=10)
+        imgs = jnp.asarray(
+            np.random.RandomState(0).rand(1, 3, 32, 32, 3).astype(np.float32)
+        )
+        params = w.init(jax.random.PRNGKey(0), imgs)
+        res = w.apply(params, imgs)
+        assert len(res) == 3
+        for r in res:
+            assert r["pts3d"].shape == (1, 32, 32, 3)
+            for v in r.values():
+                assert np.isfinite(np.asarray(v)).all()
