@@ -56,10 +56,17 @@ class ModularDUSt3R(nn.Module):
     config: ModularDUSt3RConfig = ModularDUSt3RConfig()
 
     @nn.compact
-    def __call__(self, views_img: jnp.ndarray, deterministic: bool = True):
+    def __call__(
+        self,
+        views_img: jnp.ndarray,
+        deterministic: bool = True,
+        return_features: bool = False,
+    ):
         """
         Args:
             views_img: (B, 2, H, W, 3) normalized image pair.
+            return_features: also return the final decoder tokens
+                (B, 2, h, w, dec_embed_dim).
         """
         cfg = self.config
         dtype = jnp.dtype(cfg.compute_dtype)
@@ -114,4 +121,9 @@ class ModularDUSt3R(nn.Module):
 
         pts3d = adapt_pointmap(raw[..., :3], cfg.pointmap)
         conf = adapt_confidence(raw[..., 3:4], cfg.confidence)[..., 0]
-        return DUSt3RPredictions(pts3d=pts3d, conf=conf)
+        preds = DUSt3RPredictions(pts3d=pts3d, conf=conf)
+        if return_features:
+            # (B, 2, h, w, dec_dim) final decoder tokens, for feature
+            # heads attached on top (e.g. the MASt3R descriptor head).
+            return preds, dec_final
+        return preds

@@ -137,20 +137,64 @@ def _build_dust3r_ba(size: str = "full", **kwargs):
     return DUSt3RBAWrapper(ModularDUSt3RConfig(**cfg_kw), **wrap_kw)
 
 
-_EXTERNAL_MODELS = [
-    "mast3r_sga", "must3r", "pow3r", "pow3r_ba",
-]
-for _name in _EXTERNAL_MODELS:
+@register_model("pow3r")
+def _build_pow3r(size: str = "full", **overrides):
+    """Native Pow3R baseline (reference external/pow3r/, arXiv:2503.17316)."""
+    from mapanything_tpu.models.external.pow3r import Pow3RConfig, Pow3RWrapper
 
-    def _missing(_name=_name, **_kw):
-        raise NotImplementedError(
-            f"external baseline '{_name}' requires upstream pretrained "
-            "checkpoints unavailable in this environment (reference "
-            "mapanything/models/external/); use 'mapanything' or "
-            "'modular_dust3r'."
-        )
+    cfg = (
+        Pow3RConfig.small(**overrides) if size == "small"
+        else Pow3RConfig(**overrides)
+    )
+    return Pow3RWrapper(cfg)
 
-    MODEL_REGISTRY[_name] = _missing
+
+@register_model("pow3r_ba")
+def _build_pow3r_ba(size: str = "full", **kwargs):
+    """Native Pow3R + global alignment (reference external/pow3r/:580)."""
+    from mapanything_tpu.models.external.pow3r import (
+        Pow3RBAWrapper,
+        Pow3RConfig,
+    )
+
+    cfg_kw = {k: v for k, v in kwargs.items()
+              if k in Pow3RConfig.__dataclass_fields__}
+    wrap_kw = {k: v for k, v in kwargs.items() if k not in cfg_kw}
+    cfg = Pow3RConfig.small(**cfg_kw) if size == "small" else Pow3RConfig(**cfg_kw)
+    return Pow3RBAWrapper(cfg, **wrap_kw)
+
+
+@register_model("must3r")
+def _build_must3r(size: str = "full", **overrides):
+    """Native MUSt3R baseline (reference external/must3r/, arXiv:2503.01661)."""
+    from mapanything_tpu.models.external.must3r import (
+        MUSt3RConfig,
+        MUSt3RWrapper,
+    )
+
+    cfg = (
+        MUSt3RConfig.small(**overrides) if size == "small"
+        else MUSt3RConfig(**overrides)
+    )
+    return MUSt3RWrapper(cfg)
+
+
+@register_model("mast3r_sga")
+def _build_mast3r_sga(size: str = "full", **kwargs):
+    """Native MASt3R + sparse global alignment (reference external/mast3r/)."""
+    from mapanything_tpu.models.external.mast3r import (
+        MASt3RConfig,
+        MASt3RSGAWrapper,
+    )
+
+    cfg_kw = {k: v for k, v in kwargs.items()
+              if k in MASt3RConfig.__dataclass_fields__}
+    wrap_kw = {k: v for k, v in kwargs.items() if k not in cfg_kw}
+    cfg = (
+        MASt3RConfig.small(**cfg_kw) if size == "small"
+        else MASt3RConfig(**cfg_kw)
+    )
+    return MASt3RSGAWrapper(cfg, **wrap_kw)
 
 
 def init_model(model_str: str, **model_config):

@@ -503,3 +503,150 @@ class TestDUSt3RBA:
             assert r["pts3d"].shape == (1, 32, 32, 3)
             for v in r.values():
                 assert np.isfinite(np.asarray(v)).all()
+
+
+class TestPow3R:
+    def test_priors_change_output(self):
+        from mapanything_tpu.models.external.pow3r import (
+            Pow3RConfig,
+            Pow3RWrapper,
+        )
+
+        rng = np.random.RandomState(0)
+        w = Pow3RWrapper(Pow3RConfig.small())
+        imgs = jnp.asarray(rng.rand(1, 2, 32, 32, 3).astype(np.float32))
+        K = jnp.asarray(
+            np.tile(
+                np.array(
+                    [[40.0, 0, 16], [0, 40.0, 16], [0, 0, 1]], np.float32
+                ),
+                (1, 2, 1, 1),
+            )
+        )
+        D = jnp.asarray(rng.uniform(1, 3, (1, 2, 32, 32)).astype(np.float32))
+        params = w.init(
+            jax.random.PRNGKey(0),
+            imgs,
+            rays=jnp.zeros((1, 2, 32, 32, 3), jnp.float32),
+            depth_prior=jnp.zeros((1, 2, 32, 32, 2), jnp.float32),
+            relpose=jnp.asarray(np.eye(4, dtype=np.float32)[None]),
+        )
+        res_no = w.apply(params, imgs)
+        res_k = w.apply(params, imgs, intrinsics=K)
+        res_kd = w.apply(params, imgs, intrinsics=K, depthmaps=D)
+        for r in (res_no, res_k, res_kd):
+            assert all(np.isfinite(np.asarray(v)).all() for v in r[0].values())
+        # priors must actually condition the prediction
+        assert not np.allclose(
+            np.asarray(res_no[0]["pts3d"]), np.asarray(res_k[0]["pts3d"])
+        )
+        assert not np.allclose(
+            np.asarray(res_k[0]["pts3d"]), np.asarray(res_kd[0]["pts3d"])
+        )
+
+    def test_relpose_prior_helpers(self):
+        from mapanything_tpu.models.external.pow3r import (
+            poses_to_relpose_prior,
+        )
+
+        c2w1 = jnp.asarray(np.eye(4, dtype=np.float32)[None])
+        T2 = np.eye(4, dtype=np.float32)
+        T2[:3, 3] = [3.0, 0, 0]
+        rel = poses_to_relpose_prior(c2w1, jnp.asarray(T2[None]))
+        np.testing.assert_allclose(
+            np.asarray(rel[0, :3, 3]), [1.0, 0, 0], atol=1e-6
+        )  # unit-norm translation
+        np.testing.assert_allclose(
+            np.asarray(rel[0, :3, :3]), np.eye(3), atol=1e-6
+        )
+
+    def test_ba_registry(self):
+        w = init_model("pow3r_ba", size="small", global_optim_niter=5)
+        imgs = jnp.asarray(
+            np.random.RandomState(0).rand(1, 3, 32, 32, 3).astype(np.float32)
+        )
+        params = w.init(jax.random.PRNGKey(0), imgs)
+        res = w.apply(params, imgs)
+        assert len(res) == 3
+        assert all(
+            np.isfinite(np.asarray(v)).all() for r in res for v in r.values()
+        )
+
+
+class TestMUSt3R:
+    def test_forward_and_memory(self):
+        from mapanything_tpu.models.external.must3r import (
+            MUSt3RConfig,
+            MUSt3RWrapper,
+        )
+
+        w = MUSt3RWrapper(MUSt3RConfig.small())
+        imgs = jnp.asarray(
+            np.random.RandomState(0).rand(1, 4, 32, 32, 3).astype(np.float32)
+        )
+        params = jax.jit(w.init)(jax.random.PRNGKey(0), imgs)
+        res = w.apply(params, imgs)
+        assert len(res) == 4
+        assert all(
+            np.isfinite(np.asarray(v)).all() for r in res for v in r.values()
+        )
+        # later views must depend on earlier views through the memory
+        imgs2 = np.asarray(imgs).copy()
+        imgs2[0, 0] += 0.5  # perturb view 0
+        res2 = w.apply(params, jnp.asarray(imgs2))
+        assert not np.allclose(
+            np.asarray(res[3]["pts3d"]), np.asarray(res2[3]["pts3d"])
+        )
+
+    def test_focal_recovery(self):
+        from mapanything_tpu.geometry.camera import depthmap_to_camera_frame
+        from mapanything_tpu.models.external.must3r import recover_focal
+
+        K = jnp.asarray([[[40.0, 0, 16], [0, 40.0, 16], [0, 0, 1]]])
+        d = jnp.asarray(
+            np.random.RandomState(1).uniform(1, 3, (1, 32, 32)).astype(
+                np.float32
+            )
+        )
+        pc, _ = depthmap_to_camera_frame(d, K)
+        f = recover_focal(pc, jnp.ones((1, 32, 32)))
+        np.testing.assert_allclose(float(f[0]), 40.0, rtol=0.02)
+
+    def test_registry(self):
+        w = init_model("must3r", size="small")
+        assert w.cfg.dec_depth == 2
+
+
+class TestMASt3RSGA:
+    def test_reciprocal_matching_exact(self):
+        from mapanything_tpu.models.external.mast3r import reciprocal_matches
+
+        rng = np.random.RandomState(0)
+        H, W, D = 16, 16, 8
+        d1 = rng.randn(H, W, D).astype(np.float32)
+        d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+        shift = 3
+        d2 = np.roll(d1, shift, axis=1)
+        p1, p2, ok = jax.device_get(
+            reciprocal_matches(jnp.asarray(d1), jnp.asarray(d2), subsample=4)
+        )
+        assert ok.all()
+        np.testing.assert_array_equal(p2[:, 0], (p1[:, 0] + shift) % W)
+        np.testing.assert_array_equal(p2[:, 1], p1[:, 1])
+
+    def test_end_to_end_small(self):
+        w = init_model(
+            "mast3r_sga",
+            size="small",
+            sparse_ga_niter1=10,
+            sparse_ga_niter2=10,
+        )
+        imgs = jnp.asarray(
+            np.random.RandomState(0).rand(1, 3, 32, 32, 3).astype(np.float32)
+        )
+        params = w.init(jax.random.PRNGKey(0), imgs)
+        res = w.apply(params, imgs)
+        assert len(res) == 3
+        assert all(
+            np.isfinite(np.asarray(v)).all() for r in res for v in r.values()
+        )
