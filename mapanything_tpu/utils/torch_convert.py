@@ -249,3 +249,261 @@ def verify_tree_shapes(converted: Dict, target: Dict, path: str = "") -> list:
             if tuple(cshape) != tuple(tshape):
                 problems.append(f"shape mismatch at {where}: {cshape} vs {tshape}")
     return problems
+
+
+# --------------------------------------------------------------------------
+# Full MapAnything model (reference mapanything/models/mapanything/model.py)
+# --------------------------------------------------------------------------
+
+
+def _max_index(sd: Mapping, pattern: str) -> int:
+    idx = [
+        int(m.group(1)) for k in sd if (m := re.match(pattern, k)) is not None
+    ]
+    return max(idx) + 1 if idx else 0
+
+
+def convert_dense_rep_encoder(sd: Mapping[str, np.ndarray], p: str) -> Dict:
+    """Reference DenseRepresentationEncoder (dense_rep_encoder.py:55) ->
+    our ``DenseRepresentationEncoder`` tree.
+
+    Torch layout: conv_in; encoder.0..n-2 = ResidualBlock(conv1, conv2
+    [, shortcut]); encoder.n-1 = final 1x1 Conv ("proj" here); norm_layer;
+    post_pe_norm.
+    """
+    sd = {k[len(p):]: _t(v) for k, v in sd.items() if k.startswith(p)}
+    out: Dict = {"conv_in": conv2d(sd["conv_in.weight"], sd["conv_in.bias"])}
+    n_seq = _max_index(sd, r"encoder\.(\d+)\.")
+    # final Conv2d registers params directly under its index
+    n_res = 0
+    for i in range(n_seq):
+        if f"encoder.{i}.conv1.weight" in sd:
+            blk = {
+                "conv1": conv2d(
+                    sd[f"encoder.{i}.conv1.weight"], sd[f"encoder.{i}.conv1.bias"]
+                ),
+                "conv2": conv2d(
+                    sd[f"encoder.{i}.conv2.weight"], sd[f"encoder.{i}.conv2.bias"]
+                ),
+            }
+            if f"encoder.{i}.shortcut.weight" in sd:
+                blk["shortcut"] = conv2d(
+                    sd[f"encoder.{i}.shortcut.weight"],
+                    sd[f"encoder.{i}.shortcut.bias"],
+                )
+            out[f"res_{n_res}"] = blk
+            n_res += 1
+        else:
+            out["proj"] = conv2d(
+                sd[f"encoder.{i}.weight"], sd[f"encoder.{i}.bias"]
+            )
+    if "norm_layer.weight" in sd:
+        out["norm"] = layer_norm(sd["norm_layer.weight"], sd["norm_layer.bias"])
+    if "post_pe_norm.weight" in sd:
+        out["post_pe_norm"] = layer_norm(
+            sd["post_pe_norm.weight"], sd["post_pe_norm.bias"]
+        )
+    return out
+
+
+def convert_global_rep_encoder(sd: Mapping[str, np.ndarray], p: str) -> Dict:
+    """Reference GlobalRepresentationEncoder (global_rep_encoder.py:14) ->
+    our tree (fc_0..fc_k, fc_out, norm).
+
+    The torch module nests Sequentials (encoder.0.0.0 ...); linears are
+    collected in registration order, which torch preserves in the state
+    dict.
+    """
+    lin = [
+        (k[: -len(".weight")], _t(v))
+        for k, v in sd.items()
+        if k.startswith(p + "encoder") and k.endswith(".weight")
+    ]
+    out: Dict = {}
+    for i, (name, w) in enumerate(lin):
+        b = _t(sd[name + ".bias"])
+        key = "fc_out" if i == len(lin) - 1 else f"fc_{i}"
+        out[key] = linear(w, b)
+    if p + "norm_layer.weight" in sd:
+        out["norm"] = layer_norm(
+            _t(sd[p + "norm_layer.weight"]), _t(sd[p + "norm_layer.bias"])
+        )
+    return out
+
+
+def convert_alternating_transformer(sd: Mapping[str, np.ndarray], p: str) -> Dict:
+    """Reference MultiViewAlternatingAttentionTransformer[IFR]
+    (alternating_attention_transformer.py:22,411) -> our
+    ``AlternatingAttentionTransformer`` tree. The view PE table is a
+    deterministic sinusoid buffer (regenerated, not converted)."""
+    sd = {k[len(p):]: v for k, v in sd.items() if k.startswith(p)}
+    out: Dict = {}
+    if "proj_embed.weight" in sd:
+        out["proj_embed"] = linear(
+            _t(sd["proj_embed.weight"]), _t(sd.get("proj_embed.bias"))
+        )
+    n = _max_index(sd, r"self_attention_blocks\.(\d+)\.")
+    sdt = {k: _t(v) for k, v in sd.items()}
+    for i in range(n):
+        out[f"block_{i}"] = _convert_vit_block(
+            sdt, f"self_attention_blocks.{i}."
+        )
+    out["norm"] = layer_norm(_t(sd["norm.weight"]), _t(sd["norm.bias"]))
+    return out
+
+
+def convert_dpt_feature(sd: Mapping[str, np.ndarray], p: str) -> Dict:
+    """Reference DPTFeature (dpt.py:32; croco dpt_block scratch layout) ->
+    our ``DPTFeature`` tree.
+
+    Torch: input_process.i.0 = act_postprocess (Sequential: 1x1 proj
+    [+ up/down conv]), input_process.i.1 = 3x3 layer_rn (bias-free);
+    scratch.refinenetK.{resConfUnit1, resConfUnit2, out_conv}."""
+    sd = {k[len(p):]: _t(v) for k, v in sd.items() if k.startswith(p)}
+    out: Dict = {}
+    resize = {0: "act_0_up4", 1: "act_1_up2", 3: "act_3_down2"}
+    for i in range(4):
+        proj = conv2d(
+            sd[f"input_process.{i}.0.0.weight"],
+            sd.get(f"input_process.{i}.0.0.bias"),
+        )
+        out[f"act_{i}_proj"] = proj
+        if f"input_process.{i}.0.1.weight" in sd:
+            w = sd[f"input_process.{i}.0.1.weight"]
+            b = sd.get(f"input_process.{i}.0.1.bias")
+            # ConvTranspose2d for up4/up2 (in,out,kh,kw); stride-2 Conv2d
+            # for the down path (out,in,kh,kw)
+            if i == 3:
+                out[resize[i]] = conv2d(w, b)
+            else:
+                out[resize[i]] = conv_transpose2d(w, b)
+        out[f"layer_{i}_rn"] = {
+            "kernel": np.transpose(sd[f"input_process.{i}.1.weight"], (2, 3, 1, 0))
+        }
+    for k in range(1, 5):
+        rp = f"scratch.refinenet{k}."
+        blk: Dict = {
+            "out_conv": conv2d(
+                sd[rp + "out_conv.weight"], sd.get(rp + "out_conv.bias")
+            )
+        }
+        for unit in ("resConfUnit1", "resConfUnit2"):
+            if rp + unit + ".conv1.weight" not in sd:
+                continue
+            name = "res_conf_unit1" if unit.endswith("1") else "res_conf_unit2"
+            blk[name] = {
+                "conv1": conv2d(
+                    sd[rp + unit + ".conv1.weight"],
+                    sd.get(rp + unit + ".conv1.bias"),
+                ),
+                "conv2": conv2d(
+                    sd[rp + unit + ".conv2.weight"],
+                    sd.get(rp + unit + ".conv2.bias"),
+                ),
+            }
+        out[f"refinenet{k}"] = blk
+    return out
+
+
+def convert_dpt_regressor(sd: Mapping[str, np.ndarray], p: str) -> Dict:
+    """Reference DPTRegressionProcessor (dpt.py:238) -> conv1/conv2_0/conv2_1."""
+    sd = {k[len(p):]: _t(v) for k, v in sd.items() if k.startswith(p)}
+    return {
+        "conv1": conv2d(sd["conv1.weight"], sd["conv1.bias"]),
+        "conv2_0": conv2d(sd["conv2.0.weight"], sd["conv2.0.bias"]),
+        "conv2_1": conv2d(sd["conv2.2.weight"], sd["conv2.2.bias"]),
+    }
+
+
+def convert_pose_head(sd: Mapping[str, np.ndarray], p: str) -> Dict:
+    """Reference PoseHead (pose_head.py:50) -> our ``PoseHead`` tree."""
+    sd = {k[len(p):]: _t(v) for k, v in sd.items() if k.startswith(p)}
+    out: Dict = {"proj": conv2d(sd["proj.weight"], sd["proj.bias"])}
+    n = _max_index(sd, r"res_conv\.(\d+)\.")
+    for i in range(n):
+        out[f"res_conv_{i}"] = {
+            f"res_conv{j}": conv2d(
+                sd[f"res_conv.{i}.res_conv{j}.weight"],
+                sd[f"res_conv.{i}.res_conv{j}.bias"],
+            )
+            for j in (1, 2, 3)
+        }
+    out["mlp_0"] = linear(sd["more_mlps.0.weight"], sd["more_mlps.0.bias"])
+    out["mlp_1"] = linear(sd["more_mlps.2.weight"], sd["more_mlps.2.bias"])
+    out["fc_t"] = linear(sd["fc_t.weight"], sd["fc_t.bias"])
+    out["fc_rot"] = linear(sd["fc_rot.weight"], sd["fc_rot.bias"])
+    return out
+
+
+def convert_mlp_head(sd: Mapping[str, np.ndarray], p: str) -> Dict:
+    """Reference MLPHead (mlp_head.py:13) -> our ``MLPHead`` tree."""
+    sd = {k[len(p):]: _t(v) for k, v in sd.items() if k.startswith(p)}
+    out: Dict = {"proj": linear(sd["proj.weight"], sd["proj.bias"])}
+    n = _max_index(sd, r"mlp\.(\d+)\.")
+    for i in range(n):
+        out[f"mlp_{i}"] = linear(
+            sd[f"mlp.{i}.0.weight"], sd[f"mlp.{i}.0.bias"]
+        )
+    out["output_proj"] = linear(
+        sd["output_proj.weight"], sd["output_proj.bias"]
+    )
+    return out
+
+
+def convert_mapanything(state: Mapping[str, np.ndarray]) -> Dict:
+    """Full reference MapAnything state dict -> our model's param tree.
+
+    Expects the reference's top-level module names (model.py:96-231):
+    encoder.model.* (DINOv2), ray_dirs_encoder / depth_encoder (dense rep),
+    depth_scale_encoder / cam_rot_encoder / cam_trans_encoder /
+    cam_trans_scale_encoder (global rep), fusion_norm_layer, scale_token,
+    info_sharing.*, dpt_feature_head / dpt_regressor_head (also reachable
+    as dense_head.0/.1), pose_head, scale_head. Adaptors are
+    parameter-free. Accepts "module."-prefixed (DDP) checkpoints.
+    """
+    sd = {
+        (k[len("module."):] if k.startswith("module.") else k): v
+        for k, v in state.items()
+    }
+    params: Dict = {
+        "scale_token": _t(sd["scale_token"]),
+        "fusion_norm": layer_norm(
+            _t(sd["fusion_norm_layer.weight"]), _t(sd["fusion_norm_layer.bias"])
+        ),
+    }
+    enc_sd = {
+        k[len("encoder.model."):]: v
+        for k, v in sd.items()
+        if k.startswith("encoder.model.")
+    }
+    params["encoder"] = convert_dinov2_vit(enc_sd)
+
+    for name in ("ray_dirs_encoder", "depth_encoder"):
+        params[name] = convert_dense_rep_encoder(sd, name + ".")
+    for name in (
+        "depth_scale_encoder",
+        "cam_rot_encoder",
+        "cam_trans_encoder",
+        "cam_trans_scale_encoder",
+    ):
+        params[name] = convert_global_rep_encoder(sd, name + ".")
+
+    params["info_sharing"] = convert_alternating_transformer(
+        sd, "info_sharing."
+    )
+
+    dpt_prefix = (
+        "dpt_feature_head."
+        if any(k.startswith("dpt_feature_head.") for k in sd)
+        else "dense_head.0."
+    )
+    reg_prefix = (
+        "dpt_regressor_head."
+        if any(k.startswith("dpt_regressor_head.") for k in sd)
+        else "dense_head.1."
+    )
+    params["dpt_feature_head"] = convert_dpt_feature(sd, dpt_prefix)
+    params["dpt_regressor_head"] = convert_dpt_regressor(sd, reg_prefix)
+    params["pose_head"] = convert_pose_head(sd, "pose_head.")
+    params["scale_head"] = convert_mlp_head(sd, "scale_head.")
+    return params
