@@ -76,9 +76,12 @@ def convert_dinov2_vit(state: Mapping[str, np.ndarray]) -> Dict:
         params["register_tokens"] = sd["register_tokens"]
 
     n_blocks = 1 + max(
-        int(m.group(1))
-        for k in sd
-        if (m := re.match(r"blocks\.(\d+)\.", k))
+        (
+            int(m.group(1))
+            for k in sd
+            if (m := re.match(r"blocks\.(\d+)\.", k))
+        ),
+        default=-1,
     )
     for i in range(n_blocks):
         p = f"blocks.{i}."
@@ -506,4 +509,62 @@ def convert_mapanything(state: Mapping[str, np.ndarray]) -> Dict:
     params["dpt_regressor_head"] = convert_dpt_regressor(sd, reg_prefix)
     params["pose_head"] = convert_pose_head(sd, "pose_head.")
     params["scale_head"] = convert_mlp_head(sd, "scale_head.")
+    return params
+
+
+def convert_moge(state: Mapping[str, np.ndarray]) -> Dict:
+    """Reference MoGe v1 state dict (external/moge/models/v1.py:261) ->
+    our ``MoGeModel`` param tree.
+
+    Torch layout: backbone.* (DINOv2); head.projects.i (1x1 convs);
+    head.upsample_blocks.i.0.{0,1} (ConvTranspose 2x2 + replicate-pad
+    conv), head.upsample_blocks.i.1.layers.{0,2,3,5} (ResidualConvBlock:
+    GN, conv, GN, conv); head.output_block.j.{0,2} (conv3x3, conv1x1).
+    """
+    sd = {k: v for k, v in state.items()}
+    params: Dict = {}
+    bb = {
+        k[len("backbone."):]: v for k, v in sd.items()
+        if k.startswith("backbone.")
+    }
+    params["backbone"] = convert_dinov2_vit(bb)
+
+    head: Dict = {}
+    n_proj = _max_index(sd, r"head\.projects\.(\d+)\.")
+    for i in range(n_proj):
+        head[f"project_{i}"] = conv2d(
+            _t(sd[f"head.projects.{i}.weight"]),
+            _t(sd[f"head.projects.{i}.bias"]),
+        )
+    n_up = _max_index(sd, r"head\.upsample_blocks\.(\d+)\.")
+    for i in range(n_up):
+        p = f"head.upsample_blocks.{i}."
+        head[f"upsample_{i}"] = conv_transpose2d(
+            _t(sd[p + "0.0.weight"]), _t(sd[p + "0.0.bias"])
+        )
+        head[f"up_conv_{i}"] = conv2d(
+            _t(sd[p + "0.1.weight"]), _t(sd[p + "0.1.bias"])
+        )
+        head[f"up_res_{i}"] = {
+            "gn1": {"scale": _t(sd[p + "1.layers.0.weight"]),
+                    "bias": _t(sd[p + "1.layers.0.bias"])},
+            "conv1": conv2d(
+                _t(sd[p + "1.layers.2.weight"]), _t(sd[p + "1.layers.2.bias"])
+            ),
+            "gn2": {"scale": _t(sd[p + "1.layers.3.weight"]),
+                    "bias": _t(sd[p + "1.layers.3.bias"])},
+            "conv2": conv2d(
+                _t(sd[p + "1.layers.5.weight"]), _t(sd[p + "1.layers.5.bias"])
+            ),
+        }
+    n_out = _max_index(sd, r"head\.output_block\.(\d+)\.")
+    for j in range(n_out):
+        p = f"head.output_block.{j}."
+        head[f"out_conv_{j}"] = conv2d(
+            _t(sd[p + "0.weight"]), _t(sd[p + "0.bias"])
+        )
+        head[f"out_proj_{j}"] = conv2d(
+            _t(sd[p + "2.weight"]), _t(sd[p + "2.bias"])
+        )
+    params["head"] = head
     return params

@@ -465,3 +465,154 @@ class TestFullTreeShapes:
 
         mismatches = verify_tree_shapes(converted, target)
         assert mismatches == [], mismatches[:10]
+
+
+class TorchMoGeResBlock(tnn.Module):
+    # reference moge models/v1.py:23 (group_norm variant)
+    def __init__(self, dim):
+        super().__init__()
+        self.layers = tnn.Sequential(
+            tnn.GroupNorm(1, dim),
+            tnn.ReLU(),
+            tnn.Conv2d(dim, dim, 3, 1, 1),
+            tnn.GroupNorm(max(dim // 32, 1), dim),
+            tnn.ReLU(),
+            tnn.Conv2d(dim, dim, 3, 1, 1),
+        )
+        self.skip_connection = tnn.Identity()
+
+    def forward(self, x):
+        return self.layers(x) + self.skip_connection(x)
+
+
+class TorchMoGeHead(tnn.Module):
+    # reference moge models/v1.py:86 param layout
+    def __init__(self, num_features, dim_in, dim_proj, dim_upsample, last_ch, dim_out):
+        super().__init__()
+        self.projects = tnn.ModuleList(
+            [tnn.Conv2d(dim_in, dim_proj, 1) for _ in range(num_features)]
+        )
+        ups = []
+        for cin, cout in zip([dim_proj] + dim_upsample[:-1], dim_upsample):
+            ups.append(
+                tnn.Sequential(
+                    tnn.Sequential(
+                        tnn.ConvTranspose2d(cin + 2, cout, 2, 2),
+                        tnn.Conv2d(cout, cout, 3, 1, 1),
+                    ),
+                    TorchMoGeResBlock(cout),
+                )
+            )
+        self.upsample_blocks = tnn.ModuleList(ups)
+        self.output_block = tnn.ModuleList(
+            [
+                tnn.Sequential(
+                    tnn.Conv2d(dim_upsample[-1] + 2, last_ch, 3, 1, 1),
+                    tnn.ReLU(),
+                    tnn.Conv2d(last_ch, d, 1),
+                )
+                for d in dim_out
+            ]
+        )
+
+
+class TestMoGeConversion:
+    def test_resblock_parity(self):
+        from mapanything_tpu.models.external.moge import ResidualConvBlock
+        from mapanything_tpu.utils.torch_convert import convert_moge
+
+        torch.manual_seed(7)
+        head = TorchMoGeHead(2, 16, 8, [8, 8], 4, [3, 1])
+        sd = {"head." + k: v for k, v in sd_np(head).items()}
+        # dummy backbone so convert_moge runs end to end
+        sd.update(
+            {
+                "backbone.patch_embed.proj.weight": np.zeros(
+                    (16, 3, 14, 14), np.float32
+                ),
+                "backbone.patch_embed.proj.bias": np.zeros(16, np.float32),
+                "backbone.cls_token": np.zeros((1, 1, 16), np.float32),
+                "backbone.pos_embed": np.zeros((1, 2, 16), np.float32),
+                "backbone.norm.weight": np.ones(16, np.float32),
+                "backbone.norm.bias": np.zeros(16, np.float32),
+            }
+        )
+        params = convert_moge(sd)
+
+        # residual block numerics
+        tb = TorchMoGeResBlock(8).eval()
+        tb.load_state_dict(
+            {
+                k[len("upsample_blocks.0.1."):]: torch.from_numpy(v)
+                for k, v in sd_np(head).items()
+                if k.startswith("upsample_blocks.0.1.")
+            }
+        )
+        ours = ResidualConvBlock(8)
+        x = np.random.RandomState(7).rand(1, 4, 4, 8).astype(np.float32)
+        ref = (
+            tb(torch.from_numpy(x).permute(0, 3, 1, 2))
+            .permute(0, 2, 3, 1)
+            .detach()
+            .numpy()
+        )
+        got = np.asarray(
+            ours.apply(
+                {"params": params["head"]["up_res_0"]}, jnp.asarray(x)
+            )
+        )
+        np.testing.assert_allclose(got, ref, atol=3e-4)
+
+    def test_full_moge_tree_shapes(self):
+        from mapanything_tpu.models.external.moge import MoGeConfig, MoGeModel
+        from mapanything_tpu.utils.torch_convert import (
+            convert_moge,
+            verify_tree_shapes,
+        )
+
+        cfg = MoGeConfig.small()
+        model = MoGeModel(cfg)
+        x = jnp.asarray(
+            np.random.RandomState(0).rand(1, 28, 28, 3).astype(np.float32)
+        )
+        target = jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"]
+
+        # torch state dict at the same scale
+        torch.manual_seed(8)
+        emb = target["head"]["project_0"]["kernel"].shape[2]
+        n_proj = sum(1 for k in target["head"] if k.startswith("project_"))
+        dim_proj = target["head"]["project_0"]["kernel"].shape[3]
+        ups = [
+            target["head"][f"upsample_{i}"]["kernel"].shape[3]
+            for i in range(
+                sum(1 for k in target["head"] if k.startswith("upsample_"))
+            )
+        ]
+        last_ch = target["head"]["out_conv_0"]["kernel"].shape[3]
+        head = TorchMoGeHead(n_proj, emb, dim_proj, ups, last_ch, [3, 1])
+        sd = {"head." + k: v for k, v in sd_np(head).items()}
+
+        # DINOv2 backbone at the flax tree's scale
+        depth = sum(1 for k in target["backbone"] if k.startswith("block_"))
+        sd["backbone.patch_embed.proj.weight"] = np.zeros(
+            (emb, 3, 14, 14), np.float32
+        )
+        sd["backbone.patch_embed.proj.bias"] = np.zeros(emb, np.float32)
+        sd["backbone.cls_token"] = np.zeros((1, 1, emb), np.float32)
+        sd["backbone.pos_embed"] = np.asarray(
+            target["backbone"]["pos_embed"]
+        )
+        for i in range(depth):
+            b = TorchBlock(emb, 4)
+            sd.update(
+                {f"backbone.blocks.{i}." + k: v for k, v in sd_np(b).items()}
+            )
+            if "ls1" in target["backbone"][f"block_{i}"]:
+                sd[f"backbone.blocks.{i}.ls1.gamma"] = np.ones(emb, np.float32)
+                sd[f"backbone.blocks.{i}.ls2.gamma"] = np.ones(emb, np.float32)
+        sd["backbone.norm.weight"] = np.ones(emb, np.float32)
+        sd["backbone.norm.bias"] = np.zeros(emb, np.float32)
+
+        converted = convert_moge(sd)
+        mismatches = verify_tree_shapes(converted, target)
+        assert mismatches == [], mismatches[:10]
