@@ -1,0 +1,341 @@
+"""Keypoint detection + multi-view point tracking, fully on-device.
+
+Parity: ``mapanything/third_party/track_predict.py:23`` +
+``vggsfm_tracker.py`` — the reference extracts ALIKED/SuperPoint
+keypoints on query frames and tracks them into all other frames with the
+learned VGGSfM coarse->fine transformer, feeding pycolmap BA
+(``scripts/demo_colmap.py:466-485``).
+
+Those components are pretrained pip models whose weights cannot be
+fetched here, so this module provides a TPU-native tracker with the same
+API built from deterministic vision primitives that work without
+training:
+
+- :func:`harris_keypoints`: Shi-Tomasi/Harris corner response via the
+  structure tensor, max-pool NMS, top-k — replaces ALIKED/SuperPoint.
+- :func:`track_points`: coarse-to-fine normalized-cross-correlation
+  tracking over an image pyramid with subpixel quadratic peak fitting —
+  replaces the learned coarse tracker + fine refiner. Scores are peak
+  NCC values (visibility/confidence analogue).
+- :func:`predict_tracks`: query-frame loop + non-visible completion,
+  mirroring the reference driver's output convention
+  (tracks (S, N, 2), visibility (S, N), confidence (N,)).
+
+Everything is jnp with static shapes; the correlation search is a dense
+gather over candidate windows, so it vectorizes onto the TPU instead of
+looping over points.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _to_gray(img: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 3) in [0, 1] -> (H, W) luma."""
+    w = jnp.asarray([0.299, 0.587, 0.114], img.dtype)
+    return img @ w
+
+
+def _box_filter(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Separable box filter, 2D input."""
+    kern = jnp.ones((k,), x.dtype) / k
+    x = jax.vmap(lambda row: jnp.convolve(row, kern, mode="same"))(x)
+    x = jax.vmap(lambda col: jnp.convolve(col, kern, mode="same"))(x.T).T
+    return x
+
+
+def harris_keypoints(
+    image: jnp.ndarray,
+    max_points: int = 512,
+    nms_radius: int = 4,
+    window: int = 5,
+    border: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shi-Tomasi corners: min eigenvalue of the structure tensor.
+
+    Args:
+        image: (H, W, 3) in [0, 1].
+
+    Returns:
+        (uv (N, 2) float32 pixel coords, score (N,)); fixed N=max_points,
+        zero-score entries are padding.
+    """
+    g = _to_gray(image.astype(jnp.float32))
+    H, W = g.shape
+    dx = jnp.gradient(g, axis=1)
+    dy = jnp.gradient(g, axis=0)
+    ixx = _box_filter(dx * dx, window)
+    iyy = _box_filter(dy * dy, window)
+    ixy = _box_filter(dx * dy, window)
+    # min eigenvalue of [[ixx, ixy], [ixy, iyy]]
+    tr = ixx + iyy
+    det = ixx * iyy - ixy * ixy
+    disc = jnp.sqrt(jnp.maximum(tr * tr / 4.0 - det, 0.0))
+    resp = tr / 2.0 - disc
+
+    # NMS: keep pixels that equal the local max
+    k = 2 * nms_radius + 1
+    pooled = jax.lax.reduce_window(
+        resp, -jnp.inf, jax.lax.max, (k, k), (1, 1), "SAME"
+    )
+    is_max = (resp >= pooled) & (resp > 0)
+    # suppress borders
+    u, v = jnp.meshgrid(jnp.arange(W), jnp.arange(H), indexing="xy")
+    inb = (
+        (u >= border) & (u < W - border) & (v >= border) & (v < H - border)
+    )
+    score = jnp.where(is_max & inb, resp, 0.0).reshape(-1)
+    top = jax.lax.top_k(score, max_points)
+    idx = top[1]
+    uv = jnp.stack(
+        [(idx % W).astype(jnp.float32), (idx // W).astype(jnp.float32)],
+        axis=-1,
+    )
+    return uv, top[0]
+
+
+def _bilinear(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Sample (H, W) image at float (N, 2) uv (x, y)."""
+    H, W = img.shape
+    x = jnp.clip(uv[:, 0], 0.0, W - 1.001)
+    y = jnp.clip(uv[:, 1], 0.0, H - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    v00 = img[y0, x0]
+    v01 = img[y0, x0 + 1]
+    v10 = img[y0 + 1, x0]
+    v11 = img[y0 + 1, x0 + 1]
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+def _extract_patches(
+    img: jnp.ndarray, uv: jnp.ndarray, radius: int
+) -> jnp.ndarray:
+    """(N, P, P) patches centred at uv via bilinear sampling."""
+    d = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    ox, oy = jnp.meshgrid(d, d, indexing="xy")
+    offsets = jnp.stack([ox, oy], axis=-1).reshape(-1, 2)  # (P*P, 2)
+    pts = uv[:, None, :] + offsets[None, :, :]  # (N, P*P, 2)
+    flat = _bilinear(img, pts.reshape(-1, 2))
+    P = 2 * radius + 1
+    return flat.reshape(uv.shape[0], P, P)
+
+
+def _ncc(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Normalized cross-correlation along the last two axes."""
+    am = a - a.mean(axis=(-2, -1), keepdims=True)
+    bm = b - b.mean(axis=(-2, -1), keepdims=True)
+    num = jnp.sum(am * bm, axis=(-2, -1))
+    den = jnp.sqrt(
+        jnp.sum(am * am, axis=(-2, -1)) * jnp.sum(bm * bm, axis=(-2, -1))
+    )
+    return num / jnp.maximum(den, 1e-8)
+
+
+def _search_level(
+    query_patches: jnp.ndarray,
+    target: jnp.ndarray,
+    centers: jnp.ndarray,
+    radius: int,
+    search: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One pyramid level: dense NCC search in a (2s+1)^2 window + subpixel.
+
+    Returns (refined centers (N, 2), peak ncc (N,)).
+    """
+    d = jnp.arange(-search, search + 1, dtype=jnp.float32)
+    ox, oy = jnp.meshgrid(d, d, indexing="xy")
+    cand = jnp.stack([ox, oy], axis=-1).reshape(-1, 2)  # (C, 2)
+    C = cand.shape[0]
+    N = centers.shape[0]
+
+    cand_uv = centers[:, None, :] + cand[None, :, :]  # (N, C, 2)
+    tp = _extract_patches(
+        target, cand_uv.reshape(-1, 2), radius
+    ).reshape(N, C, 2 * radius + 1, 2 * radius + 1)
+    scores = _ncc(query_patches[:, None], tp)  # (N, C)
+
+    best = jnp.argmax(scores, axis=-1)  # (N,)
+    peak = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
+    best_off = cand[best]  # (N, 2)
+
+    # subpixel: 1D quadratic fit along x and y around the peak
+    S = 2 * search + 1
+    bx = best % S
+    by = best // S
+    grid = scores.reshape(N, S, S)
+
+    def quad(fm1, f0, fp1):
+        denom = fm1 - 2 * f0 + fp1
+        return jnp.where(
+            jnp.abs(denom) > 1e-8,
+            jnp.clip(0.5 * (fm1 - fp1) / denom, -0.5, 0.5),
+            0.0,
+        )
+
+    ix = jnp.clip(bx, 1, S - 2)
+    iy = jnp.clip(by, 1, S - 2)
+    n_idx = jnp.arange(N)
+    dx = quad(
+        grid[n_idx, iy, ix - 1], grid[n_idx, iy, ix], grid[n_idx, iy, ix + 1]
+    )
+    dy = quad(
+        grid[n_idx, iy - 1, ix], grid[n_idx, iy, ix], grid[n_idx, iy + 1, ix]
+    )
+    sub = jnp.stack([dx, dy], axis=-1)
+    # only apply subpixel when the peak is interior
+    interior = ((bx > 0) & (bx < S - 1) & (by > 0) & (by < S - 1))[:, None]
+    refined = centers + best_off + jnp.where(interior, sub, 0.0)
+    return refined, peak
+
+
+def _downsample(img: jnp.ndarray) -> jnp.ndarray:
+    H, W = img.shape
+    return jax.image.resize(img, (H // 2, W // 2), method="bilinear")
+
+
+@partial(jax.jit, static_argnames=("radius", "search", "levels"))
+def track_points(
+    query_image: jnp.ndarray,
+    target_image: jnp.ndarray,
+    query_uv: jnp.ndarray,
+    radius: int = 5,
+    search: int = 4,
+    levels: int = 3,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Coarse-to-fine NCC tracking of query_uv into the target image.
+
+    Args:
+        query_image/target_image: (H, W, 3) in [0, 1].
+        query_uv: (N, 2) pixel coords in the query image.
+
+    Returns:
+        (target uv (N, 2), score (N,) peak NCC in [-1, 1]).
+    """
+    gq = _to_gray(query_image.astype(jnp.float32))
+    gt = _to_gray(target_image.astype(jnp.float32))
+
+    pyr_q = [gq]
+    pyr_t = [gt]
+    for _ in range(levels - 1):
+        pyr_q.append(_downsample(pyr_q[-1]))
+        pyr_t.append(_downsample(pyr_t[-1]))
+
+    scale = 2.0 ** (levels - 1)
+    centers = query_uv / scale
+    score = jnp.zeros(query_uv.shape[0], jnp.float32)
+    for lvl in range(levels - 1, -1, -1):
+        qp = _extract_patches(pyr_q[lvl], query_uv / (2.0**lvl), radius)
+        centers, score = _search_level(
+            qp, pyr_t[lvl], centers, radius, search
+        )
+        if lvl > 0:
+            centers = centers * 2.0
+    return centers, score
+
+
+def select_query_frames(
+    images: np.ndarray, num_query: int
+) -> list:
+    """Spread query frames across the sequence (the reference ranks by
+    DINO saliency, generate_rank_by_dino; coverage spacing is the
+    deterministic analogue)."""
+    S = images.shape[0]
+    if num_query >= S:
+        return list(range(S))
+    idx = np.unique(np.linspace(0, S - 1, num_query).astype(int)).tolist()
+    if 0 not in idx:
+        idx = [0] + idx
+    return idx
+
+
+def predict_tracks(
+    images: jnp.ndarray,
+    max_query_pts: int = 512,
+    query_frame_num: int = 3,
+    vis_thresh: float = 0.5,
+    complete_non_vis: bool = True,
+    radius: int = 5,
+    search: int = 4,
+    levels: int = 3,
+):
+    """Multi-view tracks (reference track_predict.predict_tracks).
+
+    Args:
+        images: (S, H, W, 3) in [0, 1].
+
+    Returns:
+        tracks (S, N, 2) float32; visibility (S, N) bool (score >=
+        vis_thresh); scores (S, N) float32 NCC. N accumulates over query
+        frames.
+    """
+    images = jnp.asarray(images)
+    S = images.shape[0]
+    queries = select_query_frames(np.asarray(images), query_frame_num)
+
+    all_tracks, all_scores = [], []
+    for q in queries:
+        uv, kp_score = harris_keypoints(images[q], max_points=max_query_pts)
+        tr = []
+        sc = []
+        for s in range(S):
+            if s == q:
+                tr.append(uv)
+                sc.append(jnp.ones(uv.shape[0], jnp.float32))
+            else:
+                t_uv, t_sc = track_points(
+                    images[q], images[s], uv,
+                    radius=radius, search=search, levels=levels,
+                )
+                tr.append(t_uv)
+                sc.append(t_sc)
+        tracks = jnp.stack(tr)  # (S, N, 2)
+        scores = jnp.stack(sc)  # (S, N)
+        # drop padded keypoints (zero corner response)
+        keep = kp_score > 0
+        all_tracks.append(np.asarray(tracks)[:, np.asarray(keep)])
+        all_scores.append(np.asarray(scores)[:, np.asarray(keep)])
+
+    tracks = np.concatenate(all_tracks, axis=1)
+    scores = np.concatenate(all_scores, axis=1)
+    vis = scores >= vis_thresh
+
+    if complete_non_vis:
+        # Reference _augment_non_visible_frames: frames with too few
+        # visible tracks get their own query round. One extra pass.
+        weak = [s for s in range(S) if vis[s].sum() < max(16, vis.shape[1] // 20)]
+        for q in weak[: query_frame_num]:
+            uv, kp_score = harris_keypoints(
+                images[q], max_points=max_query_pts // 2
+            )
+            keep = np.asarray(kp_score > 0)
+            tr, sc = [], []
+            for s in range(S):
+                if s == q:
+                    tr.append(np.asarray(uv))
+                    sc.append(np.ones(uv.shape[0], np.float32))
+                else:
+                    t_uv, t_sc = track_points(
+                        images[q], images[s], uv,
+                        radius=radius, search=search, levels=levels,
+                    )
+                    tr.append(np.asarray(t_uv))
+                    sc.append(np.asarray(t_sc))
+            tracks = np.concatenate([tracks, np.stack(tr)[:, keep]], axis=1)
+            scores = np.concatenate([scores, np.stack(sc)[:, keep]], axis=1)
+        vis = scores >= vis_thresh
+
+    return tracks, vis, scores

@@ -129,3 +129,68 @@ def extract_tracks_from_predictions(
 def _gather_per_cam(src: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """src (M, HW), idx (N, M) -> out (N, M) with out[n, m] = src[m, idx[n, m]]."""
     return jax.vmap(lambda s, i: s[i], in_axes=(0, 1), out_axes=1)(src, idx)
+
+
+def tracks_from_photometric_tracker(
+    images: jnp.ndarray,
+    depth_z: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    camera_poses: jnp.ndarray,
+    max_query_pts: int = 512,
+    query_frame_num: int = 3,
+    vis_thresh: float = 0.6,
+) -> Tracks:
+    """Build BA tracks from the photometric keypoint tracker.
+
+    Parity: the reference's learned-tracker BA path
+    (``track_predict.predict_tracks`` -> ``np_to_pycolmap`` ->
+    ``pycolmap.bundle_adjustment``, demo_colmap.py:443-485). Observations
+    come from :mod:`mapanything_tpu.ba.tracker` (corner detection +
+    coarse-to-fine NCC); each track's 3D point initializes from the query
+    view's predicted depth unprojected with the predicted camera.
+
+    Args:
+        images: (V, H, W, 3) in [0, 1].
+        depth_z: (V, H, W); intrinsics (V, 3, 3); camera_poses (V, 4, 4)
+            cam2world.
+    """
+    import numpy as np
+
+    from mapanything_tpu.ba.tracker import predict_tracks, select_query_frames
+
+    V, H, W = depth_z.shape
+    tracks_uv, vis, scores = predict_tracks(
+        images,
+        max_query_pts=max_query_pts,
+        query_frame_num=query_frame_num,
+        vis_thresh=vis_thresh,
+    )  # (V, N, 2), (V, N), (V, N)
+    N = tracks_uv.shape[1]
+
+    # 3D init: per track, unproject from its query frame (the frame with
+    # score == 1, by construction the seeding frame).
+    q_frame = np.argmax(scores, axis=0)  # (N,)
+    dz = np.asarray(depth_z)
+    Kn = np.asarray(intrinsics)
+    P = np.asarray(camera_poses)
+    pts3d = np.zeros((N, 3), np.float32)
+    for n in range(N):
+        q = int(q_frame[n])
+        u, v = tracks_uv[q, n]
+        ui, vi = int(round(float(u))), int(round(float(v)))
+        ui = min(max(ui, 0), W - 1)
+        vi = min(max(vi, 0), H - 1)
+        z = float(dz[q, vi, ui])
+        x = (float(u) - Kn[q, 0, 2]) * z / Kn[q, 0, 0]
+        y = (float(v) - Kn[q, 1, 2]) * z / Kn[q, 1, 1]
+        pts3d[n] = P[q, :3, :3] @ np.array([x, y, z], np.float32) + P[q, :3, 3]
+
+    w2c = np.asarray(closed_form_pose_inverse(jnp.asarray(P)))
+    return Tracks(
+        points3d=jnp.asarray(pts3d),
+        observations_uv=jnp.asarray(np.swapaxes(np.asarray(tracks_uv), 0, 1)),
+        valid=jnp.asarray(np.swapaxes(np.asarray(vis), 0, 1)),
+        intrinsics=jnp.asarray(Kn),
+        cam_from_world_rot=jnp.asarray(w2c[:, :3, :3]),
+        cam_from_world_trans=jnp.asarray(w2c[:, :3, 3]),
+    )

@@ -29,13 +29,20 @@ def main():
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--points-per-view", type=int, default=512)
     ap.add_argument("--ba-iters", type=int, default=10)
+    ap.add_argument(
+        "--tracker", default="dense", choices=["dense", "photometric"],
+        help="track source: dense predictions or the keypoint tracker",
+    )
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     from mapanything_tpu.ba.solver import ba_solve, refined_camera_poses
-    from mapanything_tpu.ba.tracks import extract_tracks_from_predictions
+    from mapanything_tpu.ba.tracks import (
+        extract_tracks_from_predictions,
+        tracks_from_photometric_tracker,
+    )
     from mapanything_tpu.models.mapanything import MapAnything, MapAnythingConfig, Views
     from mapanything_tpu.utils.colmap import predictions_to_colmap, write_model
     from mapanything_tpu.utils.image import load_images
@@ -80,11 +87,18 @@ def main():
 
     if args.use_ba:
         print("running bundle adjustment (Schur-CG, JAX)...")
-        tracks = extract_tracks_from_predictions(
-            jnp.asarray(pts3d), jnp.asarray(depth_z), jnp.asarray(K),
-            jnp.asarray(poses), jnp.asarray(conf), jnp.asarray(mask),
-            points_per_view=args.points_per_view,
-        )
+        if args.tracker == "photometric":
+            # keypoint tracks (reference VGGSfM-tracker path)
+            tracks = tracks_from_photometric_tracker(
+                jnp.asarray(colors), jnp.asarray(depth_z), jnp.asarray(K),
+                jnp.asarray(poses), max_query_pts=args.points_per_view,
+            )
+        else:
+            tracks = extract_tracks_from_predictions(
+                jnp.asarray(pts3d), jnp.asarray(depth_z), jnp.asarray(K),
+                jnp.asarray(poses), jnp.asarray(conf), jnp.asarray(mask),
+                points_per_view=args.points_per_view,
+            )
         state, costs = ba_solve(tracks, args.ba_iters, 25)
         n_obs = max(int(np.asarray(tracks.valid).sum()), 1)
         print(f"BA cost: {float(costs[0]):.1f} -> {float(costs[-1]):.1f} "

@@ -1,0 +1,153 @@
+"""Tests for the keypoint detector + NCC tracker (ba/tracker.py)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mapanything_tpu.ba.tracker import (
+    harris_keypoints,
+    predict_tracks,
+    select_query_frames,
+    track_points,
+)
+
+
+def _texture(seed=0, H=80, W=100, sigma=2.0):
+    import scipy.ndimage as ndi
+
+    rng = np.random.RandomState(seed)
+    return ndi.gaussian_filter(rng.rand(H, W).astype(np.float32), sigma)
+
+
+def _crop(tex, shift, H=64, W=64, off=8):
+    import scipy.ndimage as ndi
+
+    y, x = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    g = ndi.map_coordinates(
+        tex, [y + off + shift[1], x + off + shift[0]], order=3
+    ).astype(np.float32)
+    return np.repeat(g[..., None], 3, -1)
+
+
+class TestHarris:
+    def test_detects_corner(self):
+        # a bright square has corners; detector should fire near them
+        img = np.zeros((64, 64, 3), np.float32)
+        img[20:44, 20:44] = 1.0
+        uv, score = harris_keypoints(jnp.asarray(img), max_points=16)
+        uv = np.asarray(uv)[np.asarray(score) > 0]
+        assert len(uv) >= 4
+        corners = np.array([[20, 20], [43, 20], [20, 43], [43, 43]])
+        for c in corners:
+            d = np.linalg.norm(uv - c, axis=1).min()
+            assert d < 4.0, (c, d)
+
+    def test_border_suppression(self):
+        img = np.asarray(
+            np.random.RandomState(0).rand(64, 64, 3), np.float32
+        )
+        uv, score = harris_keypoints(
+            jnp.asarray(img), max_points=64, border=8
+        )
+        uv = np.asarray(uv)[np.asarray(score) > 0]
+        assert (uv >= 8).all() and (uv < 56).all()
+
+
+class TestTracking:
+    def test_subpixel_shift_recovery(self):
+        tex = _texture()
+        img0 = _crop(tex, (0, 0))
+        img1 = _crop(tex, (3.5, -2.25))
+        uv, score = harris_keypoints(jnp.asarray(img0), max_points=64)
+        uv = np.asarray(uv)[np.asarray(score) > 0]
+        t_uv, t_sc = track_points(
+            jnp.asarray(img0), jnp.asarray(img1), jnp.asarray(uv)
+        )
+        good = np.asarray(t_sc) > 0.8
+        assert good.sum() >= 8
+        # content sampled at +shift appears at -shift in pixel coords
+        err = np.abs(
+            np.asarray(t_uv)[good] - (uv[good] + np.array([-3.5, 2.25]))
+        )
+        assert np.median(err) < 0.25
+
+    def test_large_shift_via_pyramid(self):
+        tex = _texture(1, H=120, W=140)
+        img0 = _crop(tex, (0, 0), H=96, W=96, off=12)
+        img1 = _crop(tex, (9.0, 6.0), H=96, W=96, off=12)
+        uv, score = harris_keypoints(jnp.asarray(img0), max_points=64)
+        uv = np.asarray(uv)[np.asarray(score) > 0]
+        t_uv, t_sc = track_points(
+            jnp.asarray(img0), jnp.asarray(img1), jnp.asarray(uv), levels=3
+        )
+        good = np.asarray(t_sc) > 0.8
+        assert good.sum() >= 5
+        err = np.abs(
+            np.asarray(t_uv)[good] - (uv[good] + np.array([-9.0, -6.0]))
+        )
+        assert np.median(err) < 0.5
+
+    def test_identity_tracks_self(self):
+        tex = _texture(2)
+        img = _crop(tex, (0, 0))
+        uv, score = harris_keypoints(jnp.asarray(img), max_points=32)
+        uv = np.asarray(uv)[np.asarray(score) > 0]
+        t_uv, t_sc = track_points(
+            jnp.asarray(img), jnp.asarray(img), jnp.asarray(uv)
+        )
+        np.testing.assert_allclose(np.asarray(t_uv), uv, atol=0.2)
+        assert (np.asarray(t_sc) > 0.99).all()
+
+
+class TestPredictTracks:
+    def test_pipeline_and_query_selection(self):
+        assert select_query_frames(np.zeros((10, 4, 4, 3)), 3) == [0, 4, 9]
+        tex = _texture(3)
+        imgs = np.stack(
+            [_crop(tex, (0, 0)), _crop(tex, (2, 1)), _crop(tex, (4, 2))]
+        )
+        tracks, vis, scores = predict_tracks(
+            jnp.asarray(imgs), max_query_pts=32, query_frame_num=2
+        )
+        S, N, _ = tracks.shape
+        assert S == 3 and N > 0
+        assert vis.shape == (S, N)
+        # every track is visible in its own query frame (score 1)
+        assert (scores.max(axis=0) >= 0.99).all()
+
+
+class TestPhotometricBATracks:
+    def test_tracks_struct(self):
+        from mapanything_tpu.ba.tracks import tracks_from_photometric_tracker
+
+        tex = _texture(4)
+        imgs = np.stack([_crop(tex, (0, 0)), _crop(tex, (2, 1))])
+        V, H, W, _ = imgs.shape
+        K = np.tile(
+            np.array(
+                [[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]], np.float32
+            ),
+            (V, 1, 1),
+        )
+        poses = np.tile(np.eye(4, dtype=np.float32), (V, 1, 1))
+        depth = np.full((V, H, W), 2.0, np.float32)
+        tr = tracks_from_photometric_tracker(
+            jnp.asarray(imgs),
+            jnp.asarray(depth),
+            jnp.asarray(K),
+            jnp.asarray(poses),
+            max_query_pts=32,
+            query_frame_num=1,
+        )
+        N = tr.points3d.shape[0]
+        assert tr.observations_uv.shape == (N, V, 2)
+        assert tr.valid.shape == (N, V)
+        assert np.isfinite(np.asarray(tr.points3d)).all()
+        # z of init points equals the query depth
+        # (world == camera frame for identity poses)
+        assert np.allclose(np.asarray(tr.points3d)[:, 2], 2.0, atol=1e-5)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q", "-x"])
