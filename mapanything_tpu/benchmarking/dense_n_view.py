@@ -189,3 +189,52 @@ def run_benchmark(model, params, data_loader, loss_batch_fn, max_batches=None):
     }
     summary["overall"] = overall
     return summary
+
+
+def compute_set_metrics_global_pm_only(
+    batch: LossBatch, pts3d_pred
+) -> List[Dict[str, float]]:
+    """Pointmap-only variant (reference benchmark_global_pm_only.py):
+    evaluates just the normalized global pointmaps, for baselines that
+    predict only a global pointcloud (no factored rays/depth/pose).
+
+    Args:
+        pts3d_pred: (B, V, H, W, 3) predicted world points (any frame that
+            is consistent across views; both GT and prediction are
+            re-canonicalized to view 0 and avg_dis-normalized).
+    """
+    import jax.numpy as jnp
+
+    B, V = batch.valid_mask.shape[:2]
+    inv_q0 = quat_inverse(batch.camera_pose_quats[:, 0])
+    t0 = batch.camera_pose_trans[:, 0]
+    gt_pts_v0 = quat_rotate(
+        inv_q0[:, None, None, None, :],
+        batch.pts3d - t0[:, None, None, None, :],
+    )
+    gt_pts_n, _ = normalize_pointcloud(
+        gt_pts_v0, batch.valid_mask, "avg_dis", True
+    )
+    pr_pts_n, _ = normalize_pointcloud(
+        jnp.asarray(pts3d_pred), batch.valid_mask, "avg_dis", True
+    )
+    gt_np = np.asarray(gt_pts_n)
+    pr_np = np.asarray(pr_pts_n)
+    valid = np.asarray(batch.valid_mask)
+
+    results = []
+    for b in range(B):
+        pm_rel, pm_inl = [], []
+        for v in range(V):
+            m = valid[b, v]
+            pm_rel.append(m_rel_ae(gt_np[b, v], pr_np[b, v], mask=m))
+            pm_inl.append(
+                thresh_inliers(gt_np[b, v], pr_np[b, v], 1.03, mask=m)
+            )
+        results.append(
+            {
+                "pointmaps_abs_rel": float(np.nanmean(pm_rel)),
+                "pointmaps_inlier_thres_103": float(np.nanmean(pm_inl)),
+            }
+        )
+    return results

@@ -281,6 +281,10 @@ class MapAnythingConfig:
     scale_adaptor: ScaleAdaptorConfig = field(default_factory=ScaleAdaptorConfig)
     # execution
     compute_dtype: str = "float32"  # bf16 on TPU
+    # Dense/pose/scale head compute dtype. "float32" matches the reference
+    # (model.py:1774 forces autocast off for the heads); "bfloat16" runs the
+    # DPT convs on the MXU natively (adaptors/outputs stay fp32).
+    head_dtype: str = "float32"
     remat: bool = False
     head_chunk_size: Optional[int] = None  # chunk B*V for the dense head
 
@@ -515,17 +519,19 @@ class MapAnything(nn.Module):
         # ------------------------------------------------------------------
         # 8. Heads in fp32 (model.py:1774 autocast off; :1518 downstream_head)
         # ------------------------------------------------------------------
+        hdt = jnp.dtype(cfg.head_dtype)
         dense_inputs = [
-            enc_feats.astype(jnp.float32),
-            intermediates[0].astype(jnp.float32),
-            intermediates[1].astype(jnp.float32),
-            final_feats.astype(jnp.float32),
+            enc_feats.astype(hdt),
+            intermediates[0].astype(hdt),
+            intermediates[1].astype(hdt),
+            final_feats.astype(hdt),
         ]
         dense_inputs = [x.reshape(B * V, h, w, x.shape[-1]) for x in dense_inputs]
 
         pose_head = PoseHead(
             patch_size=cfg.patch_size,
             num_resconv_block=cfg.pose_head_num_resconv,
+            dtype=hdt,
             name="pose_head",
         )
 
@@ -536,10 +542,11 @@ class MapAnything(nn.Module):
                 input_feature_dims=(embed_dim,) + (cfg.info_sharing_dim,) * 3,
                 layer_dims=cfg.dpt_layer_dims,
                 feature_dim=cfg.dpt_feature_dim,
+                dtype=hdt,
                 name="dpt_feature_head",
             )
             dpt_regressor = DPTRegressionProcessor(
-                output_dim=n_dense_ch, name="dpt_regressor_head"
+                output_dim=n_dense_ch, dtype=hdt, name="dpt_regressor_head"
             )
 
             def run_dense(chunk):
@@ -594,8 +601,8 @@ class MapAnything(nn.Module):
             dense_raw = run_dense(dense_inputs)
 
         pose_raw = pose_head(dense_inputs[3])  # (B*V, 7) from final features
-        scale_raw = MLPHead(output_dim=1, name="scale_head")(
-            token_feats.astype(jnp.float32)
+        scale_raw = MLPHead(output_dim=1, dtype=hdt, name="scale_head")(
+            token_feats.astype(hdt)
         )  # (B, 1, 1)
 
         # ------------------------------------------------------------------

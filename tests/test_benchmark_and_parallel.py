@@ -218,3 +218,27 @@ class TestRMVDMetrics:
 
         m = rmvd_depth_metrics(np.ones((4, 4)), np.zeros((4, 4)))
         assert np.isnan(m["absrel"]) and np.isnan(m["inlier103"])
+
+
+class TestGlobalPMOnlyMetrics:
+    def test_perfect_and_degraded(self):
+        from mapanything_tpu.benchmarking.dense_n_view import (
+            compute_set_metrics_global_pm_only,
+        )
+
+        batch, preds = perfect_batch_and_preds()
+        m = compute_set_metrics_global_pm_only(batch, preds.pts3d)[0]
+        assert set(m) == {"pointmaps_abs_rel", "pointmaps_inlier_thres_103"}
+        assert m["pointmaps_abs_rel"] < 1e-4
+        assert m["pointmaps_inlier_thres_103"] > 0.999
+
+        rng = np.random.RandomState(0)
+        noisy = preds.pts3d + jnp.asarray(
+            rng.randn(*preds.pts3d.shape).astype(np.float32) * 0.2
+        )
+        worse = compute_set_metrics_global_pm_only(batch, noisy)[0]
+        assert worse["pointmaps_abs_rel"] > m["pointmaps_abs_rel"]
+        assert (
+            worse["pointmaps_inlier_thres_103"]
+            < m["pointmaps_inlier_thres_103"]
+        )
