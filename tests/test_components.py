@@ -158,10 +158,16 @@ class TestRegistry:
         for name in ("mapanything", "mapanything_ablations", "modular_dust3r"):
             assert name in MODEL_REGISTRY
 
-    def test_external_raise(self):
-        # vggt/moge are now native; the rest still raise with guidance
-        with pytest.raises(NotImplementedError):
-            init_model("pi3")
+    def test_external_all_native(self):
+        # All 9 external baselines are registered with native implementations.
+        for name in (
+            "vggt", "moge", "pi3", "anycalib", "dust3r_ba",
+            "mast3r_sga", "must3r", "pow3r", "pow3r_ba",
+        ):
+            assert name in MODEL_REGISTRY
+        # Constructing one of the later additions should succeed natively.
+        m = init_model("pi3")
+        assert m is not None
 
     def test_ablations_scene_rep(self):
         m = init_model("mapanything_ablations", scene_rep_type="pointmap")
