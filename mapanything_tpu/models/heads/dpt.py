@@ -18,36 +18,50 @@ from typing import Optional, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) align-corners linear interpolation matrix."""
+    if n_out == 1 or n_in == 1:
+        pos = np.zeros(n_out)
+    else:
+        pos = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+    i0 = np.clip(np.floor(pos).astype(np.int64), 0, n_in - 1)
+    i1 = np.clip(i0 + 1, 0, n_in - 1)
+    t = (pos - i0).astype(np.float32)
+    mat = np.zeros((n_out, n_in), np.float32)
+    mat[np.arange(n_out), i0] += 1.0 - t
+    mat[np.arange(n_out), i1] += t
+    return mat
 
 
 def _resize_bilinear_align_corners(x: jnp.ndarray, out_hw) -> jnp.ndarray:
     """Bilinear resize matching torch's align_corners=True semantics.
 
     jax.image.resize implements half-pixel-centers (align_corners=False);
-    align_corners=True maps corner pixels exactly, which we reproduce with a
-    scale-and-translate gather.
+    align_corners=True maps corner pixels exactly. We apply dense
+    (out, in) interpolation matrices on the MXU — on TPU this is 2-6x
+    faster than the gather formulation (the gathers were the DPT head's
+    dominant cost: 24.6 of 27.7 ms for the 296->518 C128 regressor resize
+    at 8-view 518 px; the matmul form is 13.1 ms at HIGHEST precision,
+    scripts/bench_dpt_parts.py). Matrices are static constants; HIGHEST
+    precision keeps the two-tap convex combinations at fp32 accuracy
+    (max |gather - matmul| = 1.4e-4 on N(0,1) features).
     """
     h, w = x.shape[-3:-1]
     oh, ow = out_hw
     if (h, w) == (oh, ow):
         return x
-    scale_h = (h - 1) / (oh - 1) if oh > 1 else 0.0
-    scale_w = (w - 1) / (ow - 1) if ow > 1 else 0.0
-    ys = jnp.arange(oh) * scale_h
-    xs = jnp.arange(ow) * scale_w
-    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
-    y1 = jnp.clip(y0 + 1, 0, h - 1)
-    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
-    x1 = jnp.clip(x0 + 1, 0, w - 1)
-    wy = (ys - y0).astype(x.dtype)
-    wx = (xs - x0).astype(x.dtype)
-
-    top = x[..., y0, :, :]
-    bot = x[..., y1, :, :]
-    row = top * (1 - wy)[:, None, None] + bot * wy[:, None, None]
-    left = row[..., :, x0, :]
-    right = row[..., :, x1, :]
-    return left * (1 - wx)[None, :, None] + right * wx[None, :, None]
+    prec = jax.lax.Precision.HIGHEST
+    out = x
+    if oh != h:
+        mh = jnp.asarray(_interp_matrix(h, oh), out.dtype)
+        out = jnp.einsum("oh,...hwc->...owc", mh, out, precision=prec)
+    if ow != w:
+        mw = jnp.asarray(_interp_matrix(w, ow), out.dtype)
+        out = jnp.einsum("pw,...hwc->...hpc", mw, out, precision=prec)
+    return out
 
 
 class ResidualConvUnit(nn.Module):

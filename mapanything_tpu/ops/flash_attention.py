@@ -11,13 +11,24 @@ TPU-native tiled kernel:
   - 3D grid (batch*heads, q-blocks, k-blocks) with the k dimension
     "arbitrary" (sequential) so the running max / denominator / output
     accumulator live in VMEM scratch across k steps;
+  - a dedicated single-K-pass forward kernel for short sequences (the
+    encoder / frame-attention regime, ~1370 tokens) that drops the online
+    softmax bookkeeping entirely;
   - backward = two Pallas kernels (dq; dk+dv) using the saved logsumexp —
     the standard FlashAttention-2 recomputation scheme.
 
-Sequence lengths are padded to block multiples; padding columns are masked
-with -inf via iota comparison against the static true length (shapes are
-static under jit). Padding/reshape live outside the custom_vjp core so its
-residuals are pure arrays.
+VPU economy (at head_dim 64 the elementwise passes over the score matrix
+cost as much as the MXU matmuls, so each pass counts):
+
+  - the softmax temperature is folded into q outside the kernels (one
+    (tq, d) multiply instead of a (tq, tk) one per kernel);
+  - K-padding is masked by ADDING a precomputed (1, tk_pad) bias row
+    (0 for real columns, -1e30 for padding) instead of an in-kernel
+    iota/compare/select — one VPU pass instead of three. Padded k/v rows
+    are zeros, so scores land at exactly -1e30 and exp() kills them.
+
+Sequence lengths are padded to block multiples. Padding/reshape/scale-fold
+live outside the custom_vjp core so its residuals are pure arrays.
 """
 
 from __future__ import annotations
@@ -31,10 +42,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Tuned on TPU v5e at trunk-scale token counts inside jitted multi-layer
-# stacks: (1024, 1024) wins at both the frame regime (8 x 1369 tokens,
-# 45 -> 39 ms / 12 layers vs bk=512) and the global regime (1 x 10953,
-# 166 -> 92 ms / 12 layers); bq=2048 regresses (104 ms) and bk=2048 gives
-# no further gain (100 ms).
+# stacks (scripts/bench_attention_blocks.py). Streaming default: (1024,
+# 1024) wins the global regime (1x10953 tokens: 6.9 ms/layer, bk=1408/2048
+# and bq=512/2048 all regress). Short sequences take the single-K-pass
+# path chosen in ``flash_attention`` below.
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 1024
 NEG_INF = -1e30
@@ -45,8 +56,32 @@ NEG_INF = -1e30
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_scr, l_scr,
-                *, scale, kv_len, block_k):
+def _fwd_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref):
+    """One K pass: plain (stable) softmax, no cross-step scratch."""
+    q = q_ref[0]  # (BQ, D), pre-scaled
+    k = k_ref[0]  # (BK, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) + bias_ref[...]  # (BQ, BK) + (1, BK)
+
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-30)
+
+    v = v_ref[0]  # (BK, D)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (pv / l).astype(o_ref.dtype)
+    # lse stored with 128 duplicated lanes (TPU tiling requires the
+    # trailing block dims to be (8k, 128); same layout as the official
+    # jax.experimental.pallas.ops.tpu.flash_attention).
+    lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), lse_ref.shape[1:])
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, acc, m_scr, l_scr):
+    """Streaming online-softmax kernel (k dimension sequential)."""
     j = pl.program_id(2)
     num_k = pl.num_programs(2)
 
@@ -56,14 +91,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_scr, l_scr,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc[:] = jnp.zeros_like(acc)
 
-    q = q_ref[0]  # (BQ, D)
+    q = q_ref[0]  # (BQ, D), pre-scaled
     k = k_ref[0]  # (BK, D)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (BQ, BK)
-
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
-    s = jnp.where(col < kv_len, s, NEG_INF)
+    ) + bias_ref[...]  # (BQ, BK) + (1, BK)
 
     m_prev = m_scr[:, :1]  # (BQ, 1)
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -85,16 +117,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_scr, l_scr,
     def _finish():
         l_final = jnp.maximum(l_scr[:, :1], 1e-30)
         o_ref[0] = (acc[:] / l_final).astype(o_ref.dtype)
-        # lse stored with 128 duplicated lanes (TPU tiling requires the
-        # trailing block dims to be (8k, 128); same layout as the official
-        # jax.experimental.pallas.ops.tpu.flash_attention).
         lse_ref[0] = jnp.broadcast_to(
             m_scr[:, :1] + jnp.log(l_final), lse_ref.shape[1:]
         )
 
 
-def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc,
-               *, scale, kv_len, block_k):
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
+               dq_ref, dq_acc):
     j = pl.program_id(2)
     num_k = pl.num_programs(2)
 
@@ -108,15 +137,13 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc,
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
-    s = jnp.where(col < kv_len, s, NEG_INF)
+    ) + bias_ref[...]
     p = jnp.exp(s - lse)
 
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    ds = p * (dp - delta) * scale
+    ds = p * (dp - delta)
     dq_acc[:] += jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -127,11 +154,10 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc,
         dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
 
 
-def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                dk_ref, dv_ref, dk_acc, dv_acc, *, scale, kv_len, block_k):
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
+                dk_ref, dv_ref, dk_acc, dv_acc):
     i = pl.program_id(2)  # q-block index (sequential)
     num_q = pl.num_programs(2)
-    j = pl.program_id(1)  # k-block index (parallel)
 
     @pl.when(i == 0)
     def _init():
@@ -144,9 +170,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
-    s = jnp.where(col < kv_len, s, NEG_INF)
+    ) + bias_ref[...]
     p = jnp.exp(s - lse)  # (BQ, BK)
 
     dv_acc[:] += jax.lax.dot_general(
@@ -156,7 +180,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    ds = p * (dp - delta) * scale
+    ds = p * (dp - delta)
     dk_acc[:] += jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -173,51 +197,74 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash_core(q3, k3, v3, scale, kv_len, block_q, block_k, interpret=False):
-    o, _ = _core_fwd(q3, k3, v3, scale, kv_len, block_q, block_k, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_core(q3, k3, v3, bias, block_q, block_k, interpret=False):
+    o, _ = _core_fwd(q3, k3, v3, bias, block_q, block_k, interpret)
     return o
 
 
-def _core_fwd(q3, k3, v3, scale, kv_len, block_q, block_k, interpret=False):
+def _core_fwd(q3, k3, v3, bias, block_q, block_k, interpret=False):
     bh, tq, d = q3.shape
     tk = k3.shape[1]
-    grid = (bh, tq // block_q, tk // block_k)
-    o, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len, block_k=block_k),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, tq, d), q3.dtype),
-            jax.ShapeDtypeStruct((bh, tq, 128), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, d), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(q3, k3, v3)
+    num_k = tk // block_k
+    out_shape = [
+        jax.ShapeDtypeStruct((bh, tq, d), q3.dtype),
+        jax.ShapeDtypeStruct((bh, tq, 128), jnp.float32),
+    ]
+    if num_k == 1:
+        o, lse = pl.pallas_call(
+            _fwd_kernel_single,
+            grid=(bh, tq // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, i: (b, 0, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, i: (b, 0, 0)),
+                pl.BlockSpec((1, block_k), lambda b, i: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+                pl.BlockSpec((1, block_q, 128), lambda b, i: (b, i, 0)),
+            ],
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            interpret=interpret,
+        )(q3, k3, v3, bias)
+    else:
+        o, lse = pl.pallas_call(
+            _fwd_kernel,
+            grid=(bh, tq // block_q, num_k),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+                pl.BlockSpec((1, block_k), lambda b, i, j: (0, j)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+                pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0)),
+            ],
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((block_q, d), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(q3, k3, v3, bias)
     # The kernel writes identical values to all 128 lse lanes (TPU tiling).
     # Keep ONE lane as the backward residual: in a 24-layer trained model
     # the full (bh, tq, 128) fp32 buffers otherwise dominate saved
     # activations (~48 MB/layer at 8-view 518 px).
-    return o, (q3, k3, v3, o, lse[..., 0])
+    return o, (q3, k3, v3, bias, o, lse[..., 0])
 
 
-def _core_bwd(scale, kv_len, block_q, block_k, interpret, res, g3):
-    q3, k3, v3, o3, lse_1 = res
+def _core_bwd(block_q, block_k, interpret, res, g3):
+    q3, k3, v3, bias, o3, lse_1 = res
     bh, tq, d = q3.shape
     tk_pad = k3.shape[1]
 
@@ -228,7 +275,7 @@ def _core_bwd(scale, kv_len, block_q, block_k, interpret, res, g3):
     delta = jnp.broadcast_to(delta[..., None], (*delta.shape, 128))
 
     dq3 = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, kv_len=kv_len, block_k=block_k),
+        _dq_kernel,
         grid=(bh, tq // block_q, tk_pad // block_k),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
@@ -237,6 +284,7 @@ def _core_bwd(scale, kv_len, block_q, block_k, interpret, res, g3):
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k), lambda b, i, j: (0, j)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, tq, d), q3.dtype),
@@ -245,10 +293,10 @@ def _core_bwd(scale, kv_len, block_q, block_k, interpret, res, g3):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q3, k3, v3, g3, lse, delta)
+    )(q3, k3, v3, g3, lse, delta, bias)
 
     dk3, dv3 = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, kv_len=kv_len, block_k=block_k),
+        _dkv_kernel,
         grid=(bh, tk_pad // block_k, tq // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
@@ -257,6 +305,7 @@ def _core_bwd(scale, kv_len, block_q, block_k, interpret, res, g3):
             pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
             pl.BlockSpec((1, block_q, 128), lambda b, j, i: (b, i, 0)),
             pl.BlockSpec((1, block_q, 128), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_k), lambda b, j, i: (0, j)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
@@ -274,13 +323,13 @@ def _core_bwd(scale, kv_len, block_q, block_k, interpret, res, g3):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q3, k3, v3, g3, lse, delta)
+    )(q3, k3, v3, g3, lse, delta, bias)
 
-    return dq3, dk3, dv3
+    return dq3, dk3, dv3, jnp.zeros_like(bias)
 
 
-def _core_fwd_rule(q3, k3, v3, scale, kv_len, block_q, block_k, interpret=False):
-    return _core_fwd(q3, k3, v3, scale, kv_len, block_q, block_k, interpret)
+def _core_fwd_rule(q3, k3, v3, bias, block_q, block_k, interpret=False):
+    return _core_fwd(q3, k3, v3, bias, block_q, block_k, interpret)
 
 
 _flash_core.defvjp(_core_fwd_rule, _core_bwd)
@@ -313,17 +362,40 @@ def flash_attention(
     if scale is None:
         scale = d**-0.5
 
-    # Adapt only the q block to padding waste (frame attention at 1369
-    # tokens: bq=1024 pads to 2048 [+50% rows], bq=512 pads to 1536 [+12%]).
-    # Never shrink the k block: small k blocks serialize the inner loop and
-    # starve the MXU (measured 1.75x slower at bk=256 vs bk=512 on v5e).
-    bq = min(block_q, _pad_to(tq, 128))
-    if _pad_to(tq, 512) < _pad_to(tq, bq) and block_q >= 512:
-        bq = 512
-    bk = min(block_k, _pad_to(tk, 128))
-    bk = max(bk, min(512, _pad_to(tk, 128)))
+    # Block selection, tuned on the v5e at the model's attention regimes
+    # (scripts/bench_attention_blocks.py, 12-layer scans inside one jit):
+    #
+    #   - SHORT sequences (pad(tk,512) <= 2048, i.e. the encoder/frame
+    #     regime at ~1370 tokens): one single K pass with bk = pad(tk,512)
+    #     and one (or two) big q steps; Mosaic strongly prefers
+    #     512-multiple K blocks (bk=1536 beats bk=1408 despite more
+    #     padding). Measured (before the single-pass kernel): encoder
+    #     8x1370 h16 3.57 -> 2.45 ms, frame 8x1369 h12 2.55 -> 1.98 ms
+    #     per layer at (bq, bk) = (1408, 1536).
+    #   - LONG sequences (the global regime, V*H*W+1 tokens): streaming
+    #     (1024, 1024) blocks win (6.86 ms at 1x10953 h12, 53.7 TFLOP/s;
+    #     bk=1408/2048 and bq=512/2048 all regress).
+    if (
+        block_q == DEFAULT_BLOCK_Q
+        and block_k == DEFAULT_BLOCK_K
+        and _pad_to(tk, 512) <= 2048
+    ):
+        bk = _pad_to(tk, 512)
+        bq = min(_pad_to(tq, 128), 2048)
+    else:
+        bq = min(block_q, _pad_to(tq, 128))
+        bk = min(block_k, _pad_to(tk, 128))
+        bk = max(bk, min(512, _pad_to(tk, 128)))
     tq_pad = _pad_to(tq, bq)
     tk_pad = _pad_to(tk, bk)
+
+    # Fold the softmax temperature into q (one (tq, d) multiply instead of
+    # a (tq, tk) pass inside every kernel; gradients flow through it).
+    q = q * jnp.asarray(scale, q.dtype)
+
+    # Additive K-padding mask row: 0 on real columns, -inf on padding.
+    col = jnp.arange(tk_pad)
+    bias = jnp.where(col < tk, 0.0, NEG_INF).astype(jnp.float32)[None, :]
 
     def to3(x, t_pad):
         x = jnp.swapaxes(x, 1, 2).reshape(b * h, x.shape[1], d)
@@ -333,6 +405,6 @@ def flash_attention(
 
     o3 = _flash_core(
         to3(q, tq_pad), to3(k, tk_pad), to3(v, tk_pad),
-        float(scale), tk, bq, bk, interpret,
+        bias, bq, bk, interpret,
     )
     return o3[:, :tq].reshape(b, h, tq, d).swapaxes(1, 2)

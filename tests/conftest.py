@@ -14,9 +14,17 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+# 8 virtual device threads may share very few host cores; XLA CPU
+# collectives hard-abort when rendezvous participants skew past the default
+# 40 s termination timeout. Raise both timeouts.
+for _f in (
+    "--xla_cpu_collective_call_warn_stuck_timeout_seconds=300",
+    "--xla_cpu_collective_call_terminate_timeout_seconds=3000",
+):
+    if _f.split("=")[0] not in flags:
+        flags += " " + _f
+os.environ["XLA_FLAGS"] = flags.strip()
 
 from jax._src import xla_bridge  # noqa: E402
 

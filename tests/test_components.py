@@ -259,3 +259,36 @@ class TestDiffAttentionAndSeg:
         assert encoder_factory("cosmos") is not None
         with pytest.raises(KeyError):
             encoder_factory("nope")
+
+
+class TestAlignCornersResize:
+    """The MXU interpolation-matrix resize vs an explicit gather reference."""
+
+    @staticmethod
+    def _reference(x, out_hw):
+        h, w = x.shape[-3:-1]
+        oh, ow = out_hw
+        ys = np.arange(oh) * ((h - 1) / (oh - 1) if oh > 1 else 0.0)
+        xs = np.arange(ow) * ((w - 1) / (ow - 1) if ow > 1 else 0.0)
+        y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+        y1 = np.clip(y0 + 1, 0, h - 1)
+        x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+        x1 = np.clip(x0 + 1, 0, w - 1)
+        wy = (ys - y0)[:, None, None]
+        wx = (xs - x0)[None, :, None]
+        row = x[..., y0, :, :] * (1 - wy) + x[..., y1, :, :] * wy
+        return row[..., :, x0, :] * (1 - wx) + row[..., :, x1, :] * wx
+
+    @pytest.mark.parametrize(
+        "in_hw,out_hw",
+        [((19, 19), (38, 38)), ((37, 41), (74, 82)), ((21, 21), (37, 37)),
+         ((16, 16), (9, 9)), ((5, 5), (5, 5)), ((1, 4), (3, 8))],
+    )
+    def test_matches_gather_reference(self, in_hw, out_hw):
+        from mapanything_tpu.models.heads.dpt import _resize_bilinear_align_corners
+
+        rng = np.random.RandomState(0)
+        x = rng.randn(2, *in_hw, 7).astype(np.float32)
+        got = np.asarray(_resize_bilinear_align_corners(jnp.asarray(x), out_hw))
+        want = self._reference(x, out_hw)
+        np.testing.assert_allclose(got, want, atol=1e-5)
