@@ -263,10 +263,28 @@ def _core_fwd(q3, k3, v3, bias, block_q, block_k, interpret=False):
     return o, (q3, k3, v3, bias, o, lse[..., 0])
 
 
+def _bwd_block(t_pad: int, cap: int = 1024) -> int:
+    """Largest 64-multiple divisor of ``t_pad`` that is <= cap.
+
+    The backward kernels hold a (block_q, block_k) score matrix PLUS dq/dkv
+    accumulators in VMEM; the big single-K-pass forward blocks (up to
+    2048x2048) overflow the 16 MB budget there (observed: 17.5 MB at
+    (1408, 1536) in the dkv kernel). Backward re-blocks the same padded
+    arrays, so the block must divide the padded length.
+    """
+    best = 128
+    for b in range(64, cap + 1, 64):
+        if t_pad % b == 0:
+            best = b
+    return best
+
+
 def _core_bwd(block_q, block_k, interpret, res, g3):
     q3, k3, v3, bias, o3, lse_1 = res
     bh, tq, d = q3.shape
     tk_pad = k3.shape[1]
+    block_q = _bwd_block(tq, min(block_q, 1024))
+    block_k = _bwd_block(tk_pad, min(block_k, 1024))
 
     lse = jnp.broadcast_to(lse_1[..., None], (bh, tq, 128))
     delta = jnp.sum(

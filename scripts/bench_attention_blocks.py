@@ -57,18 +57,16 @@ def main():
         print(f"{label:>44}: {dt * 1e3:7.2f} ms ({fl / dt / 1e12:5.1f} TFLOP/s)", flush=True)
 
     for (name, b, t, h, d) in [
-        ("encoder 8x1370 h16", 8, 1370, 16, 64),
-        ("frame 8x1369 h12", 8, 1369, 12, 64),
+        ("global 1x10953 h12", 1, 10953, 12, 64),
     ]:
         for bq, bk in [
-            (1408, 2048),
-            (2048, 2048),
-            (704, 2048),
-            (896, 2048),
-            (896, 1408),
-            (1024, 1408),
+            (1024, 1024),
             (1024, 1536),
             (1408, 1536),
+            (1024, 2048),
+            (1408, 2048),
+            (2048, 1536),
+            (1408, 1024),
         ]:
             run(f"{name} bq={bq} bk={bk}", b, t, h, d, bq, bk)
 

@@ -242,3 +242,59 @@ class TestGlobalPMOnlyMetrics:
             worse["pointmaps_inlier_thres_103"]
             < m["pointmaps_inlier_thres_103"]
         )
+
+
+class TestBenchmarkRunners:
+    """End-to-end run_benchmark over a real loader + small model (the same
+    path the scripts/benchmark_*.py CLIs drive)."""
+
+    @pytest.fixture(scope="class")
+    def small_model_and_loader(self):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent))
+        from test_data_layer import SyntheticScenes
+
+        from mapanything_tpu.data.loader import get_test_data_loader
+
+        ds = SyntheticScenes(
+            n_scenes=2, frames_per_scene=8, num_views=2, split="test",
+            covisibility_thres=0.25, resolution=(56, 56), seed=3,
+        )
+        loader = get_test_data_loader(ds, batch_size=1, num_workers=0)
+        loader.set_epoch(0)
+        cfg = MapAnythingConfig.small()
+        model = MapAnything(cfg)
+        first = next(iter(loader))
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), Views(img=jnp.asarray(first["img"]))
+        )
+        return model, params, loader
+
+    def test_dense_n_view_runner(self, small_model_and_loader):
+        from mapanything_tpu.benchmarking.dense_n_view import run_benchmark
+        from mapanything_tpu.train.loop import loss_batch_from_numpy
+
+        model, params, loader = small_model_and_loader
+        results = run_benchmark(
+            model, params, loader, loss_batch_from_numpy, max_batches=2
+        )
+        assert "overall" in results
+        for key in ("pointmaps_abs_rel", "z_depth_abs_rel", "ray_dirs_err_deg"):
+            assert key in results["overall"]
+            assert np.isfinite(results["overall"][key])
+
+    def test_calibration_runner(self, small_model_and_loader):
+        from mapanything_tpu.benchmarking.calibration import run_benchmark
+
+        model, params, loader = small_model_and_loader
+        results = run_benchmark(model, params, loader, max_batches=2)
+        assert np.isfinite(results["overall"]) and results["overall"] >= 0
+
+    def test_rmvd_runner(self, small_model_and_loader):
+        from mapanything_tpu.benchmarking.rmvd_mvs import run_benchmark
+
+        model, params, loader = small_model_and_loader
+        results = run_benchmark(model, params, loader, max_batches=2)
+        assert np.isfinite(results["absrel"]) and results["num_samples"] > 0
