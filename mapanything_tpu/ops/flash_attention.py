@@ -1,4 +1,4 @@
-"""Pallas TPU flash attention (forward + backward) with online softmax.
+"""Pallas TPU flash attention (forward + backward) with base-2 softmax.
 
 This replaces the reference's single hot kernel —
 ``F.scaled_dot_product_attention`` (CUDA flash attention,
@@ -9,23 +9,34 @@ TPU-native tiled kernel:
     tiles; the score matrix never materializes in HBM;
   - MXU matmuls with fp32 accumulation (``preferred_element_type``);
   - 3D grid (batch*heads, q-blocks, k-blocks) with the k dimension
-    "arbitrary" (sequential) so the running max / denominator / output
-    accumulator live in VMEM scratch across k steps;
+    "arbitrary" (sequential) so the denominator / output accumulator live
+    in VMEM scratch across k steps;
   - a dedicated single-K-pass forward kernel for short sequences (the
-    encoder / frame-attention regime, ~1370 tokens) that drops the online
-    softmax bookkeeping entirely;
-  - backward = two Pallas kernels (dq; dk+dv) using the saved logsumexp —
-    the standard FlashAttention-2 recomputation scheme.
+    encoder / frame-attention regime, ~1370 tokens);
+  - backward = two Pallas kernels (dq; dk+dv) using the saved log2-sum-exp
+    — the standard FlashAttention-2 recomputation scheme.
 
 VPU economy (at head_dim 64 the elementwise passes over the score matrix
 cost as much as the MXU matmuls, so each pass counts):
 
-  - the softmax temperature is folded into q outside the kernels (one
-    (tq, d) multiply instead of a (tq, tk) one per kernel);
+  - **base-2 constant-shift softmax**: softmax(s) = 2^(s2-C) / sum 2^(s2-C)
+    with s2 = s*log2(e). The temperature*log2(e) factor is folded into q
+    outside the kernels and the shift -C into the additive bias row, so the
+    kernels run a bare ``exp2`` on the scores — no row-max reduce, no
+    max-subtract pass, and no online-max/alpha-rescale bookkeeping in the
+    streaming kernel. fp32/bf16 carry the scale in the EXPONENT, so the
+    normalized output is bit-comparable to the max-stabilized form as long
+    as scaled logits stay within ~(C-150, C+127)*ln2 nats — (-83, +110) at
+    C=32, far beyond trained attention logits (fp32 exp itself overflows
+    at +88). Padding columns sit at -1e30 and exp2 to exactly 0.
   - K-padding is masked by ADDING a precomputed (1, tk_pad) bias row
-    (0 for real columns, -1e30 for padding) instead of an in-kernel
+    (-C for real columns, -1e30 for padding) instead of an in-kernel
     iota/compare/select — one VPU pass instead of three. Padded k/v rows
-    are zeros, so scores land at exactly -1e30 and exp() kills them.
+    are zeros, so they land at exactly -1e30-C and vanish.
+  - backward: ln2 chain-rule factors (d/ds2 2^s2 = ln2*2^s2) are folded
+    into ``do``/``delta`` outside the kernels (O(T*d) elementwise, fused
+    by XLA); dv is unscaled once at the end. dk needs no correction: the
+    kernel contracts ds2 with the pre-scaled q, and ln2*log2(e) = 1.
 
 Sequence lengths are padded to block multiples. Padding/reshape/scale-fold
 live outside the custom_vjp core so its residuals are pure arrays.
@@ -34,6 +45,7 @@ live outside the custom_vjp core so its residuals are pure arrays.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -49,6 +61,12 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 1024
 NEG_INF = -1e30
+# Base-2 softmax shift: p = 2^(s2 - SHIFT2). Trades positive-logit
+# headroom (overflow at (127+SHIFT2)*ln2 nats) against the all-rows-
+# underflow point ((SHIFT2-150)*ln2 nats). 32 covers (-82, +110) nats.
+SHIFT2 = 32.0
+LOG2E = math.log2(math.e)
+LN2 = math.log(2.0)
 
 
 # ---------------------------------------------------------------------------
@@ -57,16 +75,15 @@ NEG_INF = -1e30
 
 
 def _fwd_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref):
-    """One K pass: plain (stable) softmax, no cross-step scratch."""
-    q = q_ref[0]  # (BQ, D), pre-scaled
+    """One K pass: constant-shift base-2 softmax, no reductions but the sum."""
+    q = q_ref[0]  # (BQ, D), pre-scaled by temperature*log2(e)
     k = k_ref[0]  # (BK, D)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) + bias_ref[...]  # (BQ, BK) + (1, BK)
+    ) + bias_ref[...]  # (BQ, BK) + (1, BK); bias folds in the -SHIFT2
 
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-30)
+    p = jnp.exp2(s)
+    l = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-37)
 
     v = v_ref[0]  # (BK, D)
     pv = jax.lax.dot_general(
@@ -74,20 +91,21 @@ def _fwd_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref):
         preferred_element_type=jnp.float32,
     )
     o_ref[0] = (pv / l).astype(o_ref.dtype)
-    # lse stored with 128 duplicated lanes (TPU tiling requires the
-    # trailing block dims to be (8k, 128); same layout as the official
-    # jax.experimental.pallas.ops.tpu.flash_attention).
-    lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), lse_ref.shape[1:])
+    # lse2 = log2(sum 2^(s2+bias)) stored with 128 duplicated lanes (TPU
+    # tiling requires trailing block dims of (8k, 128); same layout as the
+    # official jax.experimental.pallas.ops.tpu.flash_attention).
+    lse_ref[0] = jnp.broadcast_to(jnp.log2(l), lse_ref.shape[1:])
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, acc, m_scr, l_scr):
-    """Streaming online-softmax kernel (k dimension sequential)."""
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, acc, l_scr):
+    """Streaming kernel (k dimension sequential). The constant-shift base-2
+    softmax needs no running max: the accumulator and denominator just add
+    up across k steps — no alpha rescale pass."""
     j = pl.program_id(2)
     num_k = pl.num_programs(2)
 
     @pl.when(j == 0)
     def _init():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc[:] = jnp.zeros_like(acc)
 
@@ -97,29 +115,20 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, acc, m_scr, l_scr
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) + bias_ref[...]  # (BQ, BK) + (1, BK)
 
-    m_prev = m_scr[:, :1]  # (BQ, 1)
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
-
-    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+    p = jnp.exp2(s)
+    l_scr[:] += jnp.broadcast_to(jnp.sum(p, axis=1, keepdims=True), l_scr.shape)
 
     v = v_ref[0]  # (BK, D)
-    pv = jax.lax.dot_general(
+    acc[:] += jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    acc[:] = acc[:] * alpha + pv
 
     @pl.when(j == num_k - 1)
     def _finish():
-        l_final = jnp.maximum(l_scr[:, :1], 1e-30)
+        l_final = jnp.maximum(l_scr[:, :1], 1e-37)
         o_ref[0] = (acc[:] / l_final).astype(o_ref.dtype)
-        lse_ref[0] = jnp.broadcast_to(
-            m_scr[:, :1] + jnp.log(l_final), lse_ref.shape[1:]
-        )
+        lse_ref[0] = jnp.broadcast_to(jnp.log2(l_final), lse_ref.shape[1:])
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
@@ -132,14 +141,15 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
     q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
-    lse = lse_ref[0][:, :1]
-    delta = delta_ref[0][:, :1]
+    lse = lse_ref[0][:, :1]       # log2-domain
+    delta = delta_ref[0][:, :1]   # pre-scaled by ln2 outside
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) + bias_ref[...]
-    p = jnp.exp(s - lse)
+    p = jnp.exp2(s - lse)
 
+    # do is pre-scaled by ln2 outside, so ds here is exactly dL/ds2.
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -165,14 +175,15 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
     q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
-    lse = lse_ref[0][:, :1]
-    delta = delta_ref[0][:, :1]
+    lse = lse_ref[0][:, :1]       # log2-domain
+    delta = delta_ref[0][:, :1]   # pre-scaled by ln2 outside
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) + bias_ref[...]
-    p = jnp.exp(s - lse)  # (BQ, BK)
+    p = jnp.exp2(s - lse)  # (BQ, BK)
 
+    # do carries the ln2 chain-rule factor; dv is divided by ln2 outside.
     dv_acc[:] += jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -180,7 +191,9 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    ds = p * (dp - delta)
+    ds = p * (dp - delta)  # dL/ds2
+    # q is pre-scaled by temperature*log2(e) and ds by ln2, which cancel
+    # into the standard temperature-scaled dk.
     dk_acc[:] += jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -249,7 +262,6 @@ def _core_fwd(q3, k3, v3, bias, block_q, block_k, interpret=False):
             scratch_shapes=[
                 pltpu.VMEM((block_q, d), jnp.float32),
                 pltpu.VMEM((block_q, 128), jnp.float32),
-                pltpu.VMEM((block_q, 128), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -287,8 +299,12 @@ def _core_bwd(block_q, block_k, interpret, res, g3):
     block_k = _bwd_block(tk_pad, min(block_k, 1024))
 
     lse = jnp.broadcast_to(lse_1[..., None], (bh, tq, 128))
+    # Fold the d(2^x)/dx = ln2 * 2^x chain-rule factor into do and delta
+    # here (O(T*d) elementwise, fused by XLA) instead of an extra (BQ, BK)
+    # VPU pass inside the kernels; dv is unscaled once at the end.
+    g3s = (g3.astype(jnp.float32) * LN2).astype(g3.dtype)
     delta = jnp.sum(
-        g3.astype(jnp.float32) * o3.astype(jnp.float32), axis=-1
+        g3s.astype(jnp.float32) * o3.astype(jnp.float32), axis=-1
     )  # (BH, Tq)
     delta = jnp.broadcast_to(delta[..., None], (*delta.shape, 128))
 
@@ -311,7 +327,7 @@ def _core_bwd(block_q, block_k, interpret, res, g3):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q3, k3, v3, g3, lse, delta, bias)
+    )(q3, k3, v3, g3s, lse, delta, bias)
 
     dk3, dv3 = pl.pallas_call(
         _dkv_kernel,
@@ -341,8 +357,9 @@ def _core_bwd(block_q, block_k, interpret, res, g3):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q3, k3, v3, g3, lse, delta, bias)
+    )(q3, k3, v3, g3s, lse, delta, bias)
 
+    dv3 = (dv3.astype(jnp.float32) * (1.0 / LN2)).astype(dv3.dtype)
     return dq3, dk3, dv3, jnp.zeros_like(bias)
 
 
@@ -407,13 +424,16 @@ def flash_attention(
     tq_pad = _pad_to(tq, bq)
     tk_pad = _pad_to(tk, bk)
 
-    # Fold the softmax temperature into q (one (tq, d) multiply instead of
-    # a (tq, tk) pass inside every kernel; gradients flow through it).
-    q = q * jnp.asarray(scale, q.dtype)
+    # Fold temperature AND the base-2 conversion into q (one (tq, d)
+    # multiply instead of (tq, tk) passes inside every kernel; gradients
+    # flow through it, supplying the log2(e) half of the backward's
+    # ln2 * log2(e) = 1 cancellation).
+    q = q * jnp.asarray(scale * LOG2E, q.dtype)
 
-    # Additive K-padding mask row: 0 on real columns, -inf on padding.
+    # Additive K-bias row: -SHIFT2 (the constant-shift softmax) on real
+    # columns, -inf on padding.
     col = jnp.arange(tk_pad)
-    bias = jnp.where(col < tk, 0.0, NEG_INF).astype(jnp.float32)[None, :]
+    bias = jnp.where(col < tk, -SHIFT2, NEG_INF).astype(jnp.float32)[None, :]
 
     def to3(x, t_pad):
         x = jnp.swapaxes(x, 1, 2).reshape(b * h, x.shape[1], d)
