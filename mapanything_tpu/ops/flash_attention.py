@@ -16,8 +16,7 @@ TPU-native tiled kernel:
   - backward = two Pallas kernels (dq; dk+dv) using the saved log2-sum-exp
     — the standard FlashAttention-2 recomputation scheme.
 
-VPU economy (at head_dim 64 the elementwise passes over the score matrix
-cost as much as the MXU matmuls, so each pass counts):
+VPU economy:
 
   - **base-2 constant-shift softmax**: softmax(s) = 2^(s2-C) / sum 2^(s2-C)
     with s2 = s*log2(e). The temperature*log2(e) factor is folded into q
@@ -37,6 +36,16 @@ cost as much as the MXU matmuls, so each pass counts):
     into ``do``/``delta`` outside the kernels (O(T*d) elementwise, fused
     by XLA); dv is unscaled once at the end. dk needs no correction: the
     kernel contracts ds2 with the pre-scaled q, and ln2*log2(e) = 1.
+  - measured on the v5e: with the above, the forward kernels are
+    MXU-bound, not VPU-bound — a no-exp2 variant times identically, and
+    folding the bias/denominator into augmented matmul columns (spare
+    contraction lanes at head_dim 64) gains nothing. The remaining lever
+    is the HBM glue outside the kernels (the (B,T,H,D)->(BH,T,D)
+    transposes cost ~0.55 ms/layer at encoder shape).
+  - the custom_vjp PRIMAL runs lse-free kernel variants: at inference the
+    (BH, T, 128) fp32 log2-sum-exp buffer (92 MB/layer at 8-view 518 px)
+    is never computed or written; only the vjp fwd rule (active under
+    differentiation) produces it as a residual.
 
 Sequence lengths are padded to block multiples. Padding/reshape/scale-fold
 live outside the custom_vjp core so its residuals are pure arrays.
@@ -53,11 +62,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Tuned on TPU v5e at trunk-scale token counts inside jitted multi-layer
-# stacks (scripts/bench_attention_blocks.py). Streaming default: (1024,
-# 1024) wins the global regime (1x10953 tokens: 6.9 ms/layer, bk=1408/2048
-# and bq=512/2048 all regress). Short sequences take the single-K-pass
-# path chosen in ``flash_attention`` below.
+# Tuned on TPU v5e at model token counts inside jitted multi-layer stacks
+# (scripts/bench_attention_blocks.py; per-call microbenchmarks are
+# dominated by dispatch overhead on remote transports and mislead).
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 1024
 NEG_INF = -1e30
@@ -69,12 +76,16 @@ LOG2E = math.log2(math.e)
 LN2 = math.log(2.0)
 
 
+def _pad_to(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
+
+
 # ---------------------------------------------------------------------------
 # Kernels
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref):
+def _fwd_single_body(q_ref, k_ref, v_ref, bias_ref, o_ref):
     """One K pass: constant-shift base-2 softmax, no reductions but the sum."""
     q = q_ref[0]  # (BQ, D), pre-scaled by temperature*log2(e)
     k = k_ref[0]  # (BK, D)
@@ -91,13 +102,22 @@ def _fwd_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref):
         preferred_element_type=jnp.float32,
     )
     o_ref[0] = (pv / l).astype(o_ref.dtype)
+    return l
+
+
+def _fwd_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref):
+    _fwd_single_body(q_ref, k_ref, v_ref, bias_ref, o_ref)
+
+
+def _fwd_kernel_single_lse(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref):
+    l = _fwd_single_body(q_ref, k_ref, v_ref, bias_ref, o_ref)
     # lse2 = log2(sum 2^(s2+bias)) stored with 128 duplicated lanes (TPU
     # tiling requires trailing block dims of (8k, 128); same layout as the
     # official jax.experimental.pallas.ops.tpu.flash_attention).
     lse_ref[0] = jnp.broadcast_to(jnp.log2(l), lse_ref.shape[1:])
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, acc, l_scr):
+def _fwd_stream_body(q_ref, k_ref, v_ref, bias_ref, o_ref, acc, l_scr):
     """Streaming kernel (k dimension sequential). The constant-shift base-2
     softmax needs no running max: the accumulator and denominator just add
     up across k steps — no alpha rescale pass."""
@@ -124,10 +144,26 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, acc, l_scr):
         preferred_element_type=jnp.float32,
     )
 
-    @pl.when(j == num_k - 1)
+    is_last = j == num_k - 1
+
+    @pl.when(is_last)
     def _finish():
         l_final = jnp.maximum(l_scr[:, :1], 1e-37)
         o_ref[0] = (acc[:] / l_final).astype(o_ref.dtype)
+
+    return is_last
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, acc, l_scr):
+    _fwd_stream_body(q_ref, k_ref, v_ref, bias_ref, o_ref, acc, l_scr)
+
+
+def _fwd_kernel_lse(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, acc, l_scr):
+    is_last = _fwd_stream_body(q_ref, k_ref, v_ref, bias_ref, o_ref, acc, l_scr)
+
+    @pl.when(is_last)
+    def _lse():
+        l_final = jnp.maximum(l_scr[:, :1], 1e-37)
         lse_ref[0] = jnp.broadcast_to(jnp.log2(l_final), lse_ref.shape[1:])
 
 
@@ -206,27 +242,129 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
 
 
 # ---------------------------------------------------------------------------
-# Core (custom VJP over padded (BH, T, D) arrays; all sizes static)
+# Packed-heads single-pass kernel (inference primal for the short regime)
+# ---------------------------------------------------------------------------
+#
+# Reads q/k/v in the model's native (B, T, H*D) layout — the (B,T,H,D) ->
+# (B*H, T, D) transposes of the 3D path cost ~0.55 ms/layer of pure HBM
+# traffic at encoder shape (8 views x 1370 tokens), more than 25% of the
+# attention time. The kernel loops over heads with 64-aligned lane slices.
+# k/v ride in UNPADDED full-T blocks (Pallas exempts block dims equal to
+# the array dim from the (8,128) divisibility rule), so there are no
+# padding columns and no bias: without masked columns the constant shift
+# cancels between numerator and denominator, leaving a bare exp2 whose
+# fp32 headroom (overflow at +127 * ln2 = +88 nats) matches jnp.exp.
+
+
+def _packed_single_kernel(h, d, q_ref, k_ref, v_ref, o_ref):
+    for hh in range(h):
+        sl = slice(hh * d, (hh + 1) * d)
+        q = q_ref[0][:, sl]  # (BQ, D), pre-scaled by temperature*log2(e)
+        k = k_ref[0][:, sl]  # (TK, D)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        p = jnp.exp2(s)
+        l = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-37)
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0][:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = (pv / l).astype(o_ref.dtype)
+
+
+def _packed_plan(tq: int, tk: int, c: int, itemsize: int,
+                 limit_bytes: int = 14 * 1024 * 1024):
+    """Pick a q block so the kernel fits scoped VMEM (16 MB; the estimate
+    is calibrated against real v5e compiles: the revisited full k/v blocks
+    are single-buffered, the q/o blocks are double-buffered, and scores +
+    probabilities both materialize — a bq=688 encoder-shape kernel compiles
+    to a measured 17.27 MB stack). Returns (block_q, tq_pad) or None."""
+    for nq in (1, 2, 3, 4, 6, 8, 12, 16):
+        bq = _pad_to(-(-tq // nq), 8)
+        vmem = (
+            2 * tk * c * itemsize        # full k, v blocks (single-buffered)
+            + 4 * bq * c * itemsize      # q, o blocks, double-buffered
+            + bq * tk * (4 + itemsize)   # fp32 scores + p in input dtype
+        )
+        if vmem <= limit_bytes:
+            return bq, bq * nq
+    return None
+
+
+def _packed_forward(q, k, v, scale, interpret):
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    c = h * d
+    plan = _packed_plan(tq, tk, c, q.dtype.itemsize,
+                        limit_bytes=(1 << 40) if interpret else (14 << 20))
+    assert plan is not None, "dispatcher must pre-check _packed_plan"
+    bq, tq_pad = plan
+
+    qc = (q * jnp.asarray(scale * LOG2E, q.dtype)).reshape(b, tq, c)
+    if tq_pad != tq:
+        qc = jnp.pad(qc, ((0, 0), (0, tq_pad - tq), (0, 0)))
+    kc = k.reshape(b, tk, c)
+    vc = v.reshape(b, tk, c)
+
+    (o,) = pl.pallas_call(
+        functools.partial(_packed_single_kernel, h, d),
+        grid=(b, tq_pad // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, c), lambda bi, i: (bi, i, 0)),
+            pl.BlockSpec((1, tk, c), lambda bi, i: (bi, 0, 0)),
+            pl.BlockSpec((1, tk, c), lambda bi, i: (bi, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((1, bq, c), lambda bi, i: (bi, i, 0))],
+        out_shape=[jax.ShapeDtypeStruct((b, tq_pad, c), q.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(qc, kc, vc)
+    return o[:, :tq].reshape(b, tq, h, d)
+
+
+def _use_packed(q, k, interpret) -> bool:
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    if d % 64 != 0 or (h * d) % 128 != 0:
+        return False
+    if _pad_to(tk, 512) > 2048:
+        return False  # long regime: streaming 3D kernels
+    if interpret:
+        return True
+    if q.dtype.itemsize > 2:
+        # fp32 blows scoped VMEM even at small q blocks (the full k/v
+        # blocks alone are 11+ MB and get double-buffered); the bf16
+        # estimate below is calibrated against real v5e compiles.
+        return False
+    return _packed_plan(tq, tk, h * d, q.dtype.itemsize) is not None
+
+
+# ---------------------------------------------------------------------------
+# Core kernels dispatch over padded (BH, T, D) arrays; all sizes static
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash_core(q3, k3, v3, bias, block_q, block_k, interpret=False):
-    o, _ = _core_fwd(q3, k3, v3, bias, block_q, block_k, interpret)
-    return o
-
-
-def _core_fwd(q3, k3, v3, bias, block_q, block_k, interpret=False):
+def _core_fwd(q3, k3, v3, bias, block_q, block_k, interpret=False,
+              with_lse=True):
     bh, tq, d = q3.shape
     tk = k3.shape[1]
     num_k = tk // block_k
-    out_shape = [
-        jax.ShapeDtypeStruct((bh, tq, d), q3.dtype),
-        jax.ShapeDtypeStruct((bh, tq, 128), jnp.float32),
-    ]
+
+    out_shape = [jax.ShapeDtypeStruct((bh, tq, d), q3.dtype)]
+    if with_lse:
+        out_shape.append(jax.ShapeDtypeStruct((bh, tq, 128), jnp.float32))
+
     if num_k == 1:
-        o, lse = pl.pallas_call(
-            _fwd_kernel_single,
+        out_specs = [pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0))]
+        if with_lse:
+            out_specs.append(
+                pl.BlockSpec((1, block_q, 128), lambda b, i: (b, i, 0))
+            )
+        outs = pl.pallas_call(
+            _fwd_kernel_single_lse if with_lse else _fwd_kernel_single,
             grid=(bh, tq // block_q),
             in_specs=[
                 pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
@@ -234,10 +372,7 @@ def _core_fwd(q3, k3, v3, bias, block_q, block_k, interpret=False):
                 pl.BlockSpec((1, block_k, d), lambda b, i: (b, 0, 0)),
                 pl.BlockSpec((1, block_k), lambda b, i: (0, 0)),
             ],
-            out_specs=[
-                pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
-                pl.BlockSpec((1, block_q, 128), lambda b, i: (b, i, 0)),
-            ],
+            out_specs=out_specs,
             out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel"),
@@ -245,8 +380,13 @@ def _core_fwd(q3, k3, v3, bias, block_q, block_k, interpret=False):
             interpret=interpret,
         )(q3, k3, v3, bias)
     else:
-        o, lse = pl.pallas_call(
-            _fwd_kernel,
+        out_specs = [pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0))]
+        if with_lse:
+            out_specs.append(
+                pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0))
+            )
+        outs = pl.pallas_call(
+            _fwd_kernel_lse if with_lse else _fwd_kernel,
             grid=(bh, tq // block_q, num_k),
             in_specs=[
                 pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
@@ -254,10 +394,7 @@ def _core_fwd(q3, k3, v3, bias, block_q, block_k, interpret=False):
                 pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
                 pl.BlockSpec((1, block_k), lambda b, i, j: (0, j)),
             ],
-            out_specs=[
-                pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-                pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0)),
-            ],
+            out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((block_q, d), jnp.float32),
@@ -268,6 +405,10 @@ def _core_fwd(q3, k3, v3, bias, block_q, block_k, interpret=False):
             ),
             interpret=interpret,
         )(q3, k3, v3, bias)
+
+    if not with_lse:
+        return outs[0], None
+    o, lse = outs
     # The kernel writes identical values to all 128 lse lanes (TPU tiling).
     # Keep ONE lane as the backward residual: in a 24-layer trained model
     # the full (bh, tq, 128) fp32 buffers otherwise dominate saved
@@ -360,23 +501,115 @@ def _core_bwd(block_q, block_k, interpret, res, g3):
     )(q3, k3, v3, g3s, lse, delta, bias)
 
     dv3 = (dv3.astype(jnp.float32) * (1.0 / LN2)).astype(dv3.dtype)
-    return dq3, dk3, dv3, jnp.zeros_like(bias)
-
-
-def _core_fwd_rule(q3, k3, v3, bias, block_q, block_k, interpret=False):
-    return _core_fwd(q3, k3, v3, bias, block_q, block_k, interpret)
-
-
-_flash_core.defvjp(_core_fwd_rule, _core_bwd)
+    return dq3, dk3, dv3
 
 
 # ---------------------------------------------------------------------------
-# Public wrapper
+# 4D custom VJP + public wrapper
 # ---------------------------------------------------------------------------
 
 
-def _pad_to(n: int, m: int) -> int:
-    return (n + m - 1) // m * m
+def _pick_blocks(tq: int, tk: int, block_q: int, block_k: int):
+    """Block selection, tuned on the v5e at the model's attention regimes
+    (scripts/bench_attention_blocks.py, multi-layer scans inside one jit):
+
+      - SHORT sequences (pad(tk,512) <= 2048, i.e. the encoder/frame
+        regime at ~1370 tokens): one single K pass with bk = pad(tk,512)
+        and one (or two) big q steps; Mosaic strongly prefers 512-multiple
+        K blocks (bk=1536 beats bk=1408 despite more padding). Measured
+        (before the single-pass kernel): encoder 8x1370 h16 3.57 -> 2.45
+        ms, frame 8x1369 h12 2.55 -> 1.98 ms per layer at (bq, bk) =
+        (1408, 1536). NOTE: q blocks must divide pad(tq, bq) exactly or
+        rows are silently dropped — every "smaller bq wins" microbench
+        result turned out to be that bug.
+      - LONG sequences (the global regime, V*H*W+1 tokens): streaming
+        (1024, 1024) blocks win (6.86 ms at 1x10953 h12, 53.7 TFLOP/s;
+        bk=1408/2048 and bq=512/2048 all regress).
+    """
+    if (
+        block_q == DEFAULT_BLOCK_Q
+        and block_k == DEFAULT_BLOCK_K
+        and _pad_to(tk, 512) <= 2048
+    ):
+        bk = _pad_to(tk, 512)
+        bq = min(_pad_to(tq, 128), 2048)
+    else:
+        bq = min(block_q, _pad_to(tq, 128))
+        bk = min(block_k, _pad_to(tk, 128))
+        bk = max(bk, min(512, _pad_to(tk, 128)))
+    return bq, bk
+
+
+def _scale_fold(q, scale):
+    # Fold temperature AND the base-2 conversion into q (one (tq, d)
+    # multiply instead of (tq, tk) passes inside every kernel; its adjoint
+    # in _flash_bwd supplies the log2(e) half of the backward's
+    # ln2 * log2(e) = 1 cancellation).
+    return q * jnp.asarray(scale * LOG2E, q.dtype)
+
+
+def _to3(x, t_pad):
+    b, t, h, d = x.shape
+    x = jnp.swapaxes(x, 1, 2).reshape(b * h, t, d)
+    if t != t_pad:
+        x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+    return x
+
+
+def _run_3d(q, k, v, scale, block_q, block_k, interpret, with_lse):
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    bq, bk = _pick_blocks(tq, tk, block_q, block_k)
+    tq_pad = _pad_to(tq, bq)
+    tk_pad = _pad_to(tk, bk)
+
+    # Additive K-bias row: -SHIFT2 (the constant-shift softmax) on real
+    # columns, -inf on padding.
+    col = jnp.arange(tk_pad)
+    bias = jnp.where(col < tk, -SHIFT2, NEG_INF).astype(jnp.float32)[None, :]
+
+    o3, res = _core_fwd(
+        _to3(_scale_fold(q, scale), tq_pad), _to3(k, tk_pad),
+        _to3(v, tk_pad), bias, bq, bk, interpret, with_lse=with_lse,
+    )
+    o = o3[:, :tq].reshape(b, h, tq, d).swapaxes(1, 2)
+    return o, res
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash(q, k, v, scale, block_q, block_k, interpret, tk):
+    # Primal (runs when NOT differentiated): packed-heads kernel in the
+    # short regime (no transposes, no lse), lse-free 3D kernels otherwise.
+    if (
+        block_q == DEFAULT_BLOCK_Q
+        and block_k == DEFAULT_BLOCK_K
+        and _use_packed(q, k, interpret)
+    ):
+        return _packed_forward(q, k, v, scale, interpret)
+    return _run_3d(q, k, v, scale, block_q, block_k, interpret,
+                   with_lse=False)[0]
+
+
+def _flash_fwd_rule(q, k, v, scale, block_q, block_k, interpret, tk):
+    o, res = _run_3d(q, k, v, scale, block_q, block_k, interpret,
+                     with_lse=True)
+    return o, res
+
+
+def _flash_bwd_rule(scale, block_q, block_k, interpret, tk, res, g):
+    b, tq, h, d = g.shape
+    g3 = _to3(g, res[0].shape[1])
+    dq3, dk3, dv3 = _core_bwd(block_q, block_k, interpret, res, g3)
+
+    def from3(x3, t):
+        return x3[:, :t].reshape(b, h, t, x3.shape[-1]).swapaxes(1, 2)
+
+    # The adjoint of the scale fold applied to q in _run_3d.
+    dq = from3(dq3, tq) * jnp.asarray(scale * LOG2E, dq3.dtype)
+    return dq, from3(dk3, tk), from3(dv3, tk)
+
+
+_flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
 def flash_attention(
@@ -392,57 +625,7 @@ def flash_attention(
 
     Drop-in replacement for ``jax.nn.dot_product_attention`` on TPU.
     """
-    b, tq, h, d = q.shape
-    tk = k.shape[1]
     if scale is None:
-        scale = d**-0.5
-
-    # Block selection, tuned on the v5e at the model's attention regimes
-    # (scripts/bench_attention_blocks.py, 12-layer scans inside one jit):
-    #
-    #   - SHORT sequences (pad(tk,512) <= 2048, i.e. the encoder/frame
-    #     regime at ~1370 tokens): one single K pass with bk = pad(tk,512)
-    #     and one (or two) big q steps; Mosaic strongly prefers
-    #     512-multiple K blocks (bk=1536 beats bk=1408 despite more
-    #     padding). Measured (before the single-pass kernel): encoder
-    #     8x1370 h16 3.57 -> 2.45 ms, frame 8x1369 h12 2.55 -> 1.98 ms
-    #     per layer at (bq, bk) = (1408, 1536).
-    #   - LONG sequences (the global regime, V*H*W+1 tokens): streaming
-    #     (1024, 1024) blocks win (6.86 ms at 1x10953 h12, 53.7 TFLOP/s;
-    #     bk=1408/2048 and bq=512/2048 all regress).
-    if (
-        block_q == DEFAULT_BLOCK_Q
-        and block_k == DEFAULT_BLOCK_K
-        and _pad_to(tk, 512) <= 2048
-    ):
-        bk = _pad_to(tk, 512)
-        bq = min(_pad_to(tq, 128), 2048)
-    else:
-        bq = min(block_q, _pad_to(tq, 128))
-        bk = min(block_k, _pad_to(tk, 128))
-        bk = max(bk, min(512, _pad_to(tk, 128)))
-    tq_pad = _pad_to(tq, bq)
-    tk_pad = _pad_to(tk, bk)
-
-    # Fold temperature AND the base-2 conversion into q (one (tq, d)
-    # multiply instead of (tq, tk) passes inside every kernel; gradients
-    # flow through it, supplying the log2(e) half of the backward's
-    # ln2 * log2(e) = 1 cancellation).
-    q = q * jnp.asarray(scale * LOG2E, q.dtype)
-
-    # Additive K-bias row: -SHIFT2 (the constant-shift softmax) on real
-    # columns, -inf on padding.
-    col = jnp.arange(tk_pad)
-    bias = jnp.where(col < tk, -SHIFT2, NEG_INF).astype(jnp.float32)[None, :]
-
-    def to3(x, t_pad):
-        x = jnp.swapaxes(x, 1, 2).reshape(b * h, x.shape[1], d)
-        if x.shape[1] != t_pad:
-            x = jnp.pad(x, ((0, 0), (0, t_pad - x.shape[1]), (0, 0)))
-        return x
-
-    o3 = _flash_core(
-        to3(q, tq_pad), to3(k, tk_pad), to3(v, tk_pad),
-        bias, bq, bk, interpret,
-    )
-    return o3[:, :tq].reshape(b, h, tq, d).swapaxes(1, 2)
+        scale = q.shape[-1] ** -0.5
+    return _flash(q, k, v, float(scale), block_q, block_k, interpret,
+                  k.shape[1])
