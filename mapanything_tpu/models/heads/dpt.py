@@ -179,14 +179,22 @@ class DPTRegressionProcessor(nn.Module):
     output_dim: int
     hidden_dims: Optional[Sequence[int]] = None
     dtype: jnp.dtype = jnp.float32
+    # Dtype for the feature-space part (conv1 -> resize -> conv2_0+relu);
+    # None -> ``dtype``. The final value-decoding 1x1 conv always runs at
+    # ``dtype`` (fp32 by default, matching the reference's autocast-off
+    # heads) — on TPU the feature convs at full 518px resolution are
+    # HBM-bound, so bf16 feature storage halves the head's traffic while
+    # the decode stays fp32.
+    feature_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, features: jnp.ndarray, output_shape_hw) -> jnp.ndarray:
+        fdt = self.feature_dtype or self.dtype
         c = features.shape[-1]
         hidden = tuple(self.hidden_dims) if self.hidden_dims else (c // 2, c // 2)
-        x = nn.Conv(hidden[0], (3, 3), padding=1, dtype=self.dtype, name="conv1")(features)
+        x = nn.Conv(hidden[0], (3, 3), padding=1, dtype=fdt, name="conv1")(features)
         x = _resize_bilinear_align_corners(x, output_shape_hw)
-        x = nn.Conv(hidden[1], (3, 3), padding=1, dtype=self.dtype, name="conv2_0")(x)
+        x = nn.Conv(hidden[1], (3, 3), padding=1, dtype=fdt, name="conv2_0")(x)
         x = nn.relu(x)
         x = nn.Conv(self.output_dim, (1, 1), dtype=self.dtype, name="conv2_1")(x)
         return x

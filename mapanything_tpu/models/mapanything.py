@@ -285,6 +285,14 @@ class MapAnythingConfig:
     # (model.py:1774 forces autocast off for the heads); "bfloat16" runs the
     # DPT convs on the MXU natively (adaptors/outputs stay fp32).
     head_dtype: str = "float32"
+    # DPT fusion-pyramid dtype (the reassemble/fusion convs of DPTFeature,
+    # NOT the final regression decode). None -> follow compute_dtype: the
+    # fusion consumes trunk features already carrying compute-dtype
+    # precision, so storing its activations wider buys nothing — on TPU
+    # this halves the head's HBM traffic (fp32 matmuls run as single-pass
+    # bf16 on the MXU either way at default XLA precision). The regression
+    # processor, pose/scale heads, and all adaptors stay at head_dtype.
+    dpt_fusion_dtype: Optional[str] = None
     remat: bool = False
     head_chunk_size: Optional[int] = None  # chunk B*V for the dense head
 
@@ -520,11 +528,12 @@ class MapAnything(nn.Module):
         # 8. Heads in fp32 (model.py:1774 autocast off; :1518 downstream_head)
         # ------------------------------------------------------------------
         hdt = jnp.dtype(cfg.head_dtype)
+        fdt = jnp.dtype(cfg.dpt_fusion_dtype or cfg.compute_dtype)
         dense_inputs = [
-            enc_feats.astype(hdt),
-            intermediates[0].astype(hdt),
-            intermediates[1].astype(hdt),
-            final_feats.astype(hdt),
+            enc_feats.astype(fdt),
+            intermediates[0].astype(fdt),
+            intermediates[1].astype(fdt),
+            final_feats.astype(fdt),
         ]
         dense_inputs = [x.reshape(B * V, h, w, x.shape[-1]) for x in dense_inputs]
 
@@ -542,11 +551,12 @@ class MapAnything(nn.Module):
                 input_feature_dims=(embed_dim,) + (cfg.info_sharing_dim,) * 3,
                 layer_dims=cfg.dpt_layer_dims,
                 feature_dim=cfg.dpt_feature_dim,
-                dtype=hdt,
+                dtype=fdt,
                 name="dpt_feature_head",
             )
             dpt_regressor = DPTRegressionProcessor(
-                output_dim=n_dense_ch, dtype=hdt, name="dpt_regressor_head"
+                output_dim=n_dense_ch, dtype=hdt, feature_dtype=fdt,
+                name="dpt_regressor_head",
             )
 
             def run_dense(chunk):

@@ -117,6 +117,57 @@ def _fwd_kernel_single_lse(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref):
     lse_ref[0] = jnp.broadcast_to(jnp.log2(l), lse_ref.shape[1:])
 
 
+def _fwd_stream_aug_body(q_ref, k_ref, v_ref, o_ref, acc):
+    """Streaming kernel over AUGMENTED arrays (d % 128 != 0 long regime):
+    q carries a ones column and k a bias column, so the QK matmul lands the
+    shift/padding mask; v carries a ones column, so the PV matmul's extra
+    output column IS the running denominator. The only per-score VPU work
+    left is the exp2 — measured 7% faster than the additive-bias kernel at
+    the global regime (54.5 vs 58.5 ms for 12 layers at 1x10953 h12),
+    where the bias-add / lane-reduce-sum / l-scratch passes don't hide
+    behind the MXU. (In the short single-K-pass regime they do, so the
+    packed kernel keeps the plain form.)"""
+    j = pl.program_id(2)
+    num_k = pl.num_programs(2)
+    d = o_ref.shape[-1]
+
+    @pl.when(j == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    p = jnp.exp2(s)
+    acc[:] += jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    is_last = j == num_k - 1
+
+    @pl.when(is_last)
+    def _finish():
+        l = jnp.maximum(acc[:, d : d + 1], 1e-37)
+        o_ref[0] = (acc[:, :d] / l).astype(o_ref.dtype)
+
+    return is_last, d
+
+
+def _fwd_stream_aug(q_ref, k_ref, v_ref, o_ref, acc):
+    _fwd_stream_aug_body(q_ref, k_ref, v_ref, o_ref, acc)
+
+
+def _fwd_stream_aug_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, acc):
+    is_last, d = _fwd_stream_aug_body(q_ref, k_ref, v_ref, o_ref, acc)
+
+    @pl.when(is_last)
+    def _lse():
+        l = jnp.maximum(acc[:, d : d + 1], 1e-37)
+        lse_ref[0] = jnp.broadcast_to(jnp.log2(l), lse_ref.shape[1:])
+
+
 def _fwd_stream_body(q_ref, k_ref, v_ref, bias_ref, o_ref, acc, l_scr):
     """Streaming kernel (k dimension sequential). The constant-shift base-2
     softmax needs no running max: the accumulator and denominator just add
@@ -274,16 +325,19 @@ def _packed_single_kernel(h, d, q_ref, k_ref, v_ref, o_ref):
 
 
 def _packed_plan(tq: int, tk: int, c: int, itemsize: int,
-                 limit_bytes: int = 14 * 1024 * 1024):
-    """Pick a q block so the kernel fits scoped VMEM (16 MB; the estimate
-    is calibrated against real v5e compiles: the revisited full k/v blocks
-    are single-buffered, the q/o blocks are double-buffered, and scores +
-    probabilities both materialize — a bq=688 encoder-shape kernel compiles
-    to a measured 17.27 MB stack). Returns (block_q, tq_pad) or None."""
+                 limit_bytes: int = 15 * 1024 * 1024):
+    """Pick a q block so the kernel fits scoped VMEM (16 MB hard limit).
+
+    Calibrated against real v5e compiles, WORST CASE: all blocks
+    double-buffered (whether the revisited full k/v blocks get a second
+    buffer depends on the surrounding program — the same bq=464
+    encoder-shape kernel compiled to a measured 13.2 MB stack inside
+    bench.py but 18.4 MB inside a two-model comparison jit), plus scores
+    and probabilities. Returns (block_q, tq_pad) or None."""
     for nq in (1, 2, 3, 4, 6, 8, 12, 16):
         bq = _pad_to(-(-tq // nq), 8)
         vmem = (
-            2 * tk * c * itemsize        # full k, v blocks (single-buffered)
+            4 * tk * c * itemsize        # full k, v blocks, double-buffered
             + 4 * bq * c * itemsize      # q, o blocks, double-buffered
             + bq * tk * (4 + itemsize)   # fp32 scores + p in input dtype
         )
@@ -347,6 +401,26 @@ def _use_packed(q, k, interpret) -> bool:
 # ---------------------------------------------------------------------------
 
 
+def _augment(x3: jnp.ndarray, col: jnp.ndarray, dl: int) -> jnp.ndarray:
+    """(bh, t, d) -> (bh, t, dl) with ``col`` at lane d and zeros beyond."""
+    bh, t, d = x3.shape
+    col = jnp.broadcast_to(col, (bh, t, 1)).astype(x3.dtype)
+    parts = [x3, col]
+    if dl > d + 1:
+        parts.append(jnp.zeros((bh, t, dl - d - 1), x3.dtype))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _augment_qkv(q3, k3, v3, bias):
+    d = q3.shape[-1]
+    dl = _pad_to(d + 1, 128)
+    one = jnp.ones((), q3.dtype)
+    qa = _augment(q3, one, dl)
+    ka = _augment(k3, bias[0][None, :, None], dl)
+    va = _augment(v3, one, dl)
+    return qa, ka, va, dl
+
+
 def _core_fwd(q3, k3, v3, bias, block_q, block_k, interpret=False,
               with_lse=True):
     bh, tq, d = q3.shape
@@ -379,6 +453,31 @@ def _core_fwd(q3, k3, v3, bias, block_q, block_k, interpret=False,
             ),
             interpret=interpret,
         )(q3, k3, v3, bias)
+    elif d % 128 != 0:
+        # Long regime, head_dim with spare MXU contraction lanes: the
+        # augmented-column streaming kernel (see _fwd_stream_aug_body).
+        qa, ka, va, dl = _augment_qkv(q3, k3, v3, bias)
+        out_specs = [pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0))]
+        if with_lse:
+            out_specs.append(
+                pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0))
+            )
+        outs = pl.pallas_call(
+            _fwd_stream_aug_lse if with_lse else _fwd_stream_aug,
+            grid=(bh, tq // block_q, num_k),
+            in_specs=[
+                pl.BlockSpec((1, block_q, dl), lambda b, i, j: (b, i, 0)),
+                pl.BlockSpec((1, block_k, dl), lambda b, i, j: (b, j, 0)),
+                pl.BlockSpec((1, block_k, dl), lambda b, i, j: (b, j, 0)),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((block_q, dl), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(qa, ka, va)
     else:
         out_specs = [pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0))]
         if with_lse:
