@@ -307,8 +307,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
 # fp32 headroom (overflow at +127 * ln2 = +88 nats) matches jnp.exp.
 
 
-def _packed_single_kernel(h, d, q_ref, k_ref, v_ref, o_ref):
-    for hh in range(h):
+def _packed_single_kernel(hc, d, q_ref, k_ref, v_ref, o_ref):
+    for hh in range(hc):
         sl = slice(hh * d, (hh + 1) * d)
         q = q_ref[0][:, sl]  # (BQ, D), pre-scaled by temperature*log2(e)
         k = k_ref[0][:, sl]  # (TK, D)
@@ -324,22 +324,31 @@ def _packed_single_kernel(h, d, q_ref, k_ref, v_ref, o_ref):
         o_ref[0, :, sl] = (pv / l).astype(o_ref.dtype)
 
 
-def _packed_plan(tq: int, tk: int, c: int, itemsize: int,
-                 limit_bytes: int = 15 * 1024 * 1024):
+def _packed_head_chunk(h: int, d: int) -> Optional[int]:
+    """Heads per grid step: the largest divisor of ``h`` whose channel
+    window hc*d is a lane multiple and <= 512 channels."""
+    for hc in range(min(h, 512 // max(d, 1)), 0, -1):
+        if h % hc == 0 and (hc * d) % 128 == 0:
+            return hc
+    return None
+
+
+def _packed_plan(tq: int, tk: int, c_chunk: int, itemsize: int,
+                 limit_bytes: int = 12 * 1024 * 1024):
     """Pick a q block so the kernel fits scoped VMEM (16 MB hard limit).
 
-    Calibrated against real v5e compiles, WORST CASE: all blocks
-    double-buffered (whether the revisited full k/v blocks get a second
-    buffer depends on the surrounding program — the same bq=464
-    encoder-shape kernel compiled to a measured 13.2 MB stack inside
-    bench.py but 18.4 MB inside a two-model comparison jit), plus scores
-    and probabilities. Returns (block_q, tq_pad) or None."""
+    The heads dimension rides the GRID, so the k/v blocks only carry a
+    c_chunk-channel slice — the dominant VMEM term is the per-head score
+    matrix, which the compiler holds in fp32 alongside the exp2 result
+    and the bf16 cast (observed allocations vary +-2 MB with the
+    surrounding program, hence the conservative limit). Returns
+    (block_q, tq_pad) or None."""
     for nq in (1, 2, 3, 4, 6, 8, 12, 16):
         bq = _pad_to(-(-tq // nq), 8)
         vmem = (
-            4 * tk * c * itemsize        # full k, v blocks, double-buffered
-            + 4 * bq * c * itemsize      # q, o blocks, double-buffered
-            + bq * tk * (4 + itemsize)   # fp32 scores + p in input dtype
+            4 * tk * c_chunk * itemsize   # k, v chunk blocks, double-buffered
+            + 4 * bq * c_chunk * itemsize  # q, o blocks, double-buffered
+            + bq * tk * (8 + itemsize)    # fp32 scores + fp32 exp2 + p cast
         )
         if vmem <= limit_bytes:
             return bq, bq * nq
@@ -350,8 +359,12 @@ def _packed_forward(q, k, v, scale, interpret):
     b, tq, h, d = q.shape
     tk = k.shape[1]
     c = h * d
-    plan = _packed_plan(tq, tk, c, q.dtype.itemsize,
-                        limit_bytes=(1 << 40) if interpret else (14 << 20))
+    hc = _packed_head_chunk(h, d)
+    cch = hc * d
+    if interpret:
+        plan = _packed_plan(tq, tk, cch, q.dtype.itemsize, limit_bytes=1 << 40)
+    else:
+        plan = _packed_plan(tq, tk, cch, q.dtype.itemsize)
     assert plan is not None, "dispatcher must pre-check _packed_plan"
     bq, tq_pad = plan
 
@@ -362,17 +375,17 @@ def _packed_forward(q, k, v, scale, interpret):
     vc = v.reshape(b, tk, c)
 
     (o,) = pl.pallas_call(
-        functools.partial(_packed_single_kernel, h, d),
-        grid=(b, tq_pad // bq),
+        functools.partial(_packed_single_kernel, hc, d),
+        grid=(b, h // hc, tq_pad // bq),
         in_specs=[
-            pl.BlockSpec((1, bq, c), lambda bi, i: (bi, i, 0)),
-            pl.BlockSpec((1, tk, c), lambda bi, i: (bi, 0, 0)),
-            pl.BlockSpec((1, tk, c), lambda bi, i: (bi, 0, 0)),
+            pl.BlockSpec((1, bq, cch), lambda bi, hi, i: (bi, i, hi)),
+            pl.BlockSpec((1, tk, cch), lambda bi, hi, i: (bi, 0, hi)),
+            pl.BlockSpec((1, tk, cch), lambda bi, hi, i: (bi, 0, hi)),
         ],
-        out_specs=[pl.BlockSpec((1, bq, c), lambda bi, i: (bi, i, 0))],
+        out_specs=[pl.BlockSpec((1, bq, cch), lambda bi, hi, i: (bi, i, hi))],
         out_shape=[jax.ShapeDtypeStruct((b, tq_pad, c), q.dtype)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=interpret,
     )(qc, kc, vc)
@@ -382,18 +395,20 @@ def _packed_forward(q, k, v, scale, interpret):
 def _use_packed(q, k, interpret) -> bool:
     b, tq, h, d = q.shape
     tk = k.shape[1]
-    if d % 64 != 0 or (h * d) % 128 != 0:
+    if d % 64 != 0:
+        return False
+    hc = _packed_head_chunk(h, d)
+    if hc is None:
         return False
     if _pad_to(tk, 512) > 2048:
         return False  # long regime: streaming 3D kernels
     if interpret:
         return True
     if q.dtype.itemsize > 2:
-        # fp32 blows scoped VMEM even at small q blocks (the full k/v
-        # blocks alone are 11+ MB and get double-buffered); the bf16
-        # estimate below is calibrated against real v5e compiles.
+        # fp32 doubles every VMEM term; the bf16 estimate below is
+        # calibrated against real v5e compiles.
         return False
-    return _packed_plan(tq, tk, h * d, q.dtype.itemsize) is not None
+    return _packed_plan(tq, tk, hc * d, q.dtype.itemsize) is not None
 
 
 # ---------------------------------------------------------------------------
