@@ -1,14 +1,12 @@
-"""Phase-wise real-chip timing of the bench regime (8-view 518 px inference).
+"""In-program phase timing: each stage iterated by lax.scan inside ONE jit.
 
-Times each stage of the flagship forward separately — image encoder, info
-sharing trunk, DPT dense head, pose/scale heads — as independently jitted
-programs at the exact production shapes, to locate the time sink.
+Avoids per-program dispatch overhead of the tunnel (a naive per-phase
+timing loop pays a fixed multi-ms launch/ack cost per program over the
+remote transport and reports inflated, unstable numbers): each phase runs
+REPS times inside a single compiled program with a data dependency chaining
+iterations, so per-iteration time = (t_program - t_launch) / REPS.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/profile_phases.py
-
-Measurement notes (see bench.py): the axon tunnel acks block_until_ready
-early, so every timed iteration uses a distinct input and the loop ends
-with a device->host scalar fetch that drains the queue.
 """
 
 from __future__ import annotations
@@ -18,23 +16,19 @@ import time
 
 import numpy as np
 
+REPS = 8
 
-def time_fn(fn, make_args, iters=8, warmup=1):
+
+def timed(label, program, args, per_iter_divisor=REPS, n_timing=3):
     import jax.numpy as jnp
 
-    inputs = [make_args(i) for i in range(iters + warmup)]
-    for i in range(warmup):
-        out = fn(*inputs[i])
-        float(jnp.sum(out[0] if isinstance(out, (tuple, list)) else out)[...].astype(jnp.float32))
+    out = program(*args)
+    float(jnp.sum(out.astype(jnp.float32)))  # compile + warmup + drain
     t0 = time.perf_counter()
-    sums = []
-    for i in range(warmup, warmup + iters):
-        out = fn(*inputs[i])
-        o = out[0] if isinstance(out, (tuple, list)) else out
-        sums.append(jnp.sum(o.astype(jnp.float32)))
-    total = float(sum(float(s) for s in sums[-1:]))
-    dt = (time.perf_counter() - t0) / iters
-    assert np.isfinite(total)
+    outs = [program(*args) for _ in range(n_timing)]
+    float(jnp.sum(outs[-1].astype(jnp.float32)))
+    dt = (time.perf_counter() - t0) / n_timing / per_iter_divisor
+    print(f"{label:>16}: {dt * 1e3:8.1f} ms/iter", flush=True)
     return dt
 
 
@@ -42,7 +36,6 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--views", type=int, default=8)
     ap.add_argument("--res", type=int, default=518)
-    ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--head-dtype", default="float32")
     args = ap.parse_args()
 
@@ -54,7 +47,7 @@ def main():
 
     from mapanything_tpu.models.encoders.vit import ViTEncoder
     from mapanything_tpu.models.heads.dpt import DPTFeature, DPTRegressionProcessor
-    from mapanything_tpu.models.heads.pose import MLPHead, PoseHead
+    from mapanything_tpu.models.heads.pose import PoseHead
     from mapanything_tpu.models.info_sharing.alternating import (
         AlternatingAttentionTransformer,
     )
@@ -68,22 +61,28 @@ def main():
     rng = np.random.RandomState(0)
     key = jax.random.PRNGKey(0)
 
-    report = {}
+    def scanned(apply_fn, x0, perturb):
+        """Run apply_fn REPS times with a chained perturbation of the input."""
 
-    def record(name, dt):
-        report[name] = dt
-        print(f"{name:>12}: {dt * 1e3:8.1f} ms", flush=True)
+        def prog(params, x):
+            def body(c, _):
+                y = apply_fn(params, perturb(x, c))
+                return jnp.sum(y.astype(jnp.float32)), ()
+
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=REPS)
+            return c
+
+        return jax.jit(prog)
 
     # ---- encoder ----
     enc = ViTEncoder(size="large", patch_size=P, dtype=dt_c)
     img0 = jnp.asarray(rng.randn(B * V, H, W, 3).astype(np.float32))
     p_enc = jax.jit(enc.init)(key, img0)
-    enc_apply = jax.jit(lambda p, x: enc.apply(p, x))
-    record("encoder", time_fn(
-        enc_apply,
-        lambda i: (p_enc, img0 + jnp.float32(i) * 1e-3),
-        iters=args.iters,
-    ))
+    prog = scanned(
+        lambda p, x: enc.apply(p, x), img0,
+        lambda x, c: x + c * jnp.float32(1e-9),
+    )
+    timed("encoder", prog, (p_enc, img0))
 
     # ---- trunk ----
     trunk = AlternatingAttentionTransformer(
@@ -93,54 +92,46 @@ def main():
     feats0 = jnp.asarray(rng.randn(B, V, h, w, emb).astype(np.float32)).astype(dt_c)
     tok0 = jnp.asarray(rng.randn(B, 1, emb).astype(np.float32)).astype(dt_c)
     p_trunk = jax.jit(trunk.init)(key, feats0, tok0)
-    trunk_apply = jax.jit(lambda p, x, t: trunk.apply(p, x, t))
-    record("trunk", time_fn(
-        trunk_apply,
-        lambda i: (p_trunk, feats0 + dt_c(i * 1e-3), tok0),
-        iters=args.iters,
-    ))
+    prog = scanned(
+        lambda p, x: trunk.apply(p, x, tok0)[0], feats0,
+        lambda x, c: x + c.astype(dt_c) * dt_c(1e-9),
+    )
+    timed("trunk", prog, (p_trunk, feats0))
 
     # ---- DPT head ----
     dptf = DPTFeature(
-        hooks=(0, 1, 2, 3),
-        input_feature_dims=(emb, dim, dim, dim),
-        layer_dims=(96, 192, 384, 768),
-        feature_dim=256,
-        dtype=hdt,
+        hooks=(0, 1, 2, 3), input_feature_dims=(emb, dim, dim, dim),
+        layer_dims=(96, 192, 384, 768), feature_dim=256, dtype=hdt,
     )
     dptr = DPTRegressionProcessor(output_dim=6, dtype=hdt)
-
     x0 = jnp.asarray(rng.randn(B * V, h, w, emb).astype(np.float32))
     xs0 = [x0] + [
         jnp.asarray(rng.randn(B * V, h, w, dim).astype(np.float32)) for _ in range(3)
     ]
-
-    def dense_fwd(pf, pr, xs):
-        return dptr.apply(pr, dptf.apply(pf, xs), (H, W))
-
     p_f = jax.jit(dptf.init)(key, xs0)
-    p_r = jax.jit(lambda k, x: dptr.init(k, x, (H, W)))(key, jax.jit(dptf.apply)(p_f, xs0))
-    dense_apply = jax.jit(dense_fwd)
-    record("dpt_head", time_fn(
-        dense_apply,
-        lambda i: (p_f, p_r, [x + jnp.float32(i) * 1e-3 for x in xs0]),
-        iters=args.iters,
-    ))
+    p_r = jax.jit(lambda k, x: dptr.init(k, x, (H, W)))(
+        key, jax.jit(dptf.apply)(p_f, xs0)
+    )
 
-    # ---- pose + scale heads ----
+    def dense_prog(pf, pr, xs):
+        def body(c, _):
+            xs_c = [x + c * jnp.float32(1e-9) for x in xs]
+            y = dptr.apply(pr, dptf.apply(pf, xs_c), (H, W))
+            return jnp.sum(y.astype(jnp.float32)), ()
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=REPS)
+        return c
+
+    timed("dpt_head", jax.jit(dense_prog), (p_f, p_r, xs0))
+
+    # ---- pose head ----
     pose = PoseHead(patch_size=P, num_resconv_block=2, dtype=hdt)
     p_pose = jax.jit(pose.init)(key, xs0[3])
-    pose_apply = jax.jit(lambda p, x: pose.apply(p, x))
-    record("pose_head", time_fn(
-        pose_apply, lambda i: (p_pose, xs0[3] + jnp.float32(i) * 1e-3),
-        iters=args.iters,
-    ))
-
-    total = sum(report.values())
-    print(f"\n=== phase timings (B={B}, V={V}, {H}px, head_dtype={hdt}) ===")
-    for k, v in report.items():
-        print(f"{k:>12}: {v * 1e3:8.1f} ms  ({100 * v / total:4.1f}%)")
-    print(f"{'sum':>12}: {total * 1e3:8.1f} ms -> {B * V / total:.1f} views/s upper bound")
+    prog = scanned(
+        lambda p, x: pose.apply(p, x), xs0[3],
+        lambda x, c: x + c * jnp.float32(1e-9),
+    )
+    timed("pose_head", prog, (p_pose, xs0[3]))
 
 
 if __name__ == "__main__":
