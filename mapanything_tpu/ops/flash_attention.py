@@ -218,6 +218,85 @@ def _fwd_kernel_lse(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, acc, l_scr):
         lse_ref[0] = jnp.broadcast_to(jnp.log2(l_final), lse_ref.shape[1:])
 
 
+def _dq_aug_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dq_ref, dq_acc):
+    """dq over augmented arrays (d % 128 != 0): the QK matmul carries the
+    bias via k's augmented column, and ``do`` carries a ``-delta`` column
+    that the ``do @ v^T`` matmul (v's column is ones) turns into
+    ``dp - delta`` — two fewer (BQ, BK) VPU passes than the additive
+    form. Contracting ds with the augmented k adds trailing garbage
+    output columns that the final slice drops."""
+    j = pl.program_id(2)
+    num_k = pl.num_programs(2)
+    d = dq_ref.shape[-1]
+
+    @pl.when(j == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    lse = lse_ref[0][:, :1]  # log2-domain
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # = dp - delta via the augmented columns
+    ds = jnp.exp2(s - lse) * dp  # dL/ds2 (do pre-scaled by ln2 outside)
+    dq_acc[:] += jax.lax.dot_general(
+        ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == num_k - 1)
+    def _finish():
+        dq_ref[0] = dq_acc[:, :d].astype(dq_ref.dtype)
+
+
+def _dkv_aug_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref,
+                    dk_ref, dv_ref, dk_acc, dv_acc):
+    """dk + dv over augmented arrays; see _dq_aug_kernel. The -delta
+    column of ``do`` lands a garbage dv column and q's ones column a
+    garbage dk column — both dropped by the final slices."""
+    i = pl.program_id(2)  # q-block index (sequential)
+    num_q = pl.num_programs(2)
+    d = dk_ref.shape[-1]
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    lse = lse_ref[0][:, :1]  # log2-domain
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    p = jnp.exp2(s - lse)  # (BQ, BK)
+
+    # do carries the ln2 chain-rule factor; dv is divided by ln2 outside.
+    dv_acc[:] += jax.lax.dot_general(
+        p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # = dp - delta via the augmented columns
+    ds = p * dp
+    # q is pre-scaled by temperature*log2(e) and ds by ln2, which cancel
+    # into the standard temperature-scaled dk.
+    dk_acc[:] += jax.lax.dot_general(
+        ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == num_q - 1)
+    def _finish():
+        dk_ref[0] = dk_acc[:, :d].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:, :d].astype(dv_ref.dtype)
+
+
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
                dq_ref, dq_acc):
     j = pl.program_id(2)
@@ -561,6 +640,60 @@ def _core_bwd(block_q, block_k, interpret, res, g3):
     delta = jnp.sum(
         g3s.astype(jnp.float32) * o3.astype(jnp.float32), axis=-1
     )  # (BH, Tq)
+
+    if d % 128 != 0:
+        qa, ka, va, dl = _augment_qkv(q3, k3, v3, bias)
+        doa = _augment(g3s, -delta[..., None].astype(g3s.dtype), dl)
+        dq3 = pl.pallas_call(
+            _dq_aug_kernel,
+            grid=(bh, tq // block_q, tk_pad // block_k),
+            in_specs=[
+                pl.BlockSpec((1, block_q, dl), lambda b, i, j: (b, i, 0)),
+                pl.BlockSpec((1, block_k, dl), lambda b, i, j: (b, j, 0)),
+                pl.BlockSpec((1, block_k, dl), lambda b, i, j: (b, j, 0)),
+                pl.BlockSpec((1, block_q, dl), lambda b, i, j: (b, i, 0)),
+                pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((bh, tq, d), q3.dtype),
+            scratch_shapes=[pltpu.VMEM((block_q, dl), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(qa, ka, va, doa, lse)
+
+        dk3, dv3 = pl.pallas_call(
+            _dkv_aug_kernel,
+            grid=(bh, tk_pad // block_k, tq // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, dl), lambda b, j, i: (b, i, 0)),
+                pl.BlockSpec((1, block_k, dl), lambda b, j, i: (b, j, 0)),
+                pl.BlockSpec((1, block_k, dl), lambda b, j, i: (b, j, 0)),
+                pl.BlockSpec((1, block_q, dl), lambda b, j, i: (b, i, 0)),
+                pl.BlockSpec((1, block_q, 128), lambda b, j, i: (b, i, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, tk_pad, d), k3.dtype),
+                jax.ShapeDtypeStruct((bh, tk_pad, d), v3.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_k, dl), jnp.float32),
+                pltpu.VMEM((block_k, dl), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(qa, ka, va, doa, lse)
+
+        dv3 = (dv3.astype(jnp.float32) * (1.0 / LN2)).astype(dv3.dtype)
+        return dq3, dk3, dv3
+
     delta = jnp.broadcast_to(delta[..., None], (*delta.shape, 128))
 
     dq3 = pl.pallas_call(
