@@ -95,5 +95,75 @@ def test_backward_padded_lengths():
         )
 
 
+class TestDispatch:
+    """Invariants of the kernel dispatcher (packed / 3D / streaming)."""
+
+    def test_packed_plan_blocks_divide_padded_length(self):
+        from mapanything_tpu.ops.flash_attention import _packed_plan
+
+        for tq in (100, 518, 1369, 1370, 2048):
+            plan = _packed_plan(tq, tq, 256, 2, limit_bytes=1 << 40)
+            assert plan is not None
+            bq, tq_pad = plan
+            assert tq_pad >= tq and tq_pad % bq == 0 and bq % 8 == 0
+
+    def test_packed_head_chunk(self):
+        from mapanything_tpu.ops.flash_attention import _packed_head_chunk
+
+        assert _packed_head_chunk(16, 64) == 8   # 512-channel window
+        assert _packed_head_chunk(12, 64) == 6
+        assert _packed_head_chunk(16, 128) == 4
+        assert _packed_head_chunk(7, 64) is None   # no even divisor
+        assert _packed_head_chunk(2, 48) is None   # 96 lanes, not 128-mult
+
+    def test_use_packed_regimes(self):
+        from mapanything_tpu.ops.flash_attention import _use_packed
+
+        q = jnp.zeros((1, 1370, 16, 64), jnp.bfloat16)
+        assert _use_packed(q, q, interpret=False)          # encoder regime
+        qf = jnp.zeros((1, 1370, 16, 64), jnp.float32)
+        assert not _use_packed(qf, qf, interpret=False)    # fp32 -> 3D
+        assert _use_packed(qf, qf, interpret=True)         # tests cover it
+        qlong = jnp.zeros((1, 10953, 12, 64), jnp.bfloat16)
+        assert not _use_packed(qlong, qlong, interpret=False)  # streaming
+        qodd = jnp.zeros((1, 1370, 7, 64), jnp.bfloat16)
+        assert not _use_packed(qodd, qodd, interpret=False)  # no head chunk
+
+    def test_packed_multi_head_chunks_match_reference(self):
+        # h=4, d=64 -> hc=4 single chunk; h=8 -> hc=8; exercise hc<h via
+        # d=128 (hc capped at 4 channels windows of 512).
+        q, k, v = make_qkv(tq=300, tk=300, h=8, d=64)
+        out = flash_attention(q, k, v, 0.125, interpret=True)
+        ref = reference_sdpa(q, k, v, 0.125)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+        q, k, v = make_qkv(tq=200, tk=200, h=8, d=128)
+        out = flash_attention(q, k, v, 0.08, interpret=True)
+        ref = reference_sdpa(q, k, v, 0.08)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_streaming_long_regime_fwd_bwd(self):
+        # pad(tk,512) > 2048 forces the streaming (augmented-column)
+        # kernels even with default blocks.
+        q, k, v = make_qkv(tq=2100, tk=2100, h=2, d=64)
+        scale = 0.125
+        out = flash_attention(q, k, v, scale, interpret=True)
+        ref = reference_sdpa(q, k, v, scale)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, scale, interpret=True) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(reference_sdpa(q, k, v, scale) ** 2)
+
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(g_flash, g_ref, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-3, err_msg=f"d{name}"
+            )
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
