@@ -11,8 +11,12 @@ TPU-native tiled kernel:
   - 3D grid (batch*heads, q-blocks, k-blocks) with the k dimension
     "arbitrary" (sequential) so the denominator / output accumulator live
     in VMEM scratch across k steps;
-  - a dedicated single-K-pass forward kernel for short sequences (the
-    encoder / frame-attention regime, ~1370 tokens);
+  - a packed-heads single-K-pass forward kernel for short sequences (the
+    encoder / frame-attention regime, ~1370 tokens) that reads q/k/v in
+    the model's native (B, T, H*D) layout — heads ride the grid in
+    channel windows, k/v ride in unpadded full-T blocks, so the
+    (B,T,H,D)->(BH,T,D) transposes (~0.55 ms/layer of pure HBM traffic
+    at encoder shape) disappear along with the bias/masking pass;
   - backward = two Pallas kernels (dq; dk+dv) using the saved log2-sum-exp
     — the standard FlashAttention-2 recomputation scheme.
 
@@ -36,12 +40,14 @@ VPU economy:
     into ``do``/``delta`` outside the kernels (O(T*d) elementwise, fused
     by XLA); dv is unscaled once at the end. dk needs no correction: the
     kernel contracts ds2 with the pre-scaled q, and ln2*log2(e) = 1.
-  - measured on the v5e: with the above, the forward kernels are
-    MXU-bound, not VPU-bound — a no-exp2 variant times identically, and
-    folding the bias/denominator into augmented matmul columns (spare
-    contraction lanes at head_dim 64) gains nothing. The remaining lever
-    is the HBM glue outside the kernels (the (B,T,H,D)->(BH,T,D)
-    transposes cost ~0.55 ms/layer at encoder shape).
+  - measured on the v5e: the single-K-pass forward is MXU-bound (a
+    no-exp2 variant times identically), but the long-sequence STREAMING
+    kernel and the backward are partially VPU-bound — there, augmented
+    matmul columns (head_dim 64 wastes half the MXU's 128-wide
+    contraction, so the spare lanes are free) fold the bias into the QK
+    matmul, the softmax denominator into an extra PV output column, and
+    ``-delta`` into the dp matmul: ~7% on the 1x10953-token global
+    regime and two fewer score-matrix VPU passes in backward.
   - the custom_vjp PRIMAL runs lse-free kernel variants: at inference the
     (BH, T, 128) fp32 log2-sum-exp buffer (92 MB/layer at 8-view 518 px)
     is never computed or written; only the vjp fwd rule (active under
