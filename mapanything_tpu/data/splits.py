@@ -1,12 +1,15 @@
 """Train/val/test split assignment per dataset.
 
 Parity: ``mapanything/datasets/utils/data_splits.py`` (1.7k lines of
-hard-coded scene lists). Re-designed as *rules*: where the reference
-documents the generating logic (BlendedMVS hex-mod-10, ScanNet++ seeded
-80/10/10, MPSD precomputed npy), we implement the rule; where it pins
-short curated lists (TartanAirV2-WB, MegaDepth, Spring), those lists are
-data and reproduced; the giant enumerations (every train scene name) are
-derived from the converted WAI root instead of being baked into code.
+hard-coded scene lists). The BENCHMARK-set lists (BlendedMVS,
+ScanNet++V2, TartanAirV2-WB, MegaDepth, Spring) are vendored verbatim in
+``reference_splits.json`` — benchmark comparability requires
+byte-identical scene sets, and the reference's ScanNet++ 80/10/10 draw
+is NOT reproducible from a seed (np.random.choice under unknown global
+state, data_splits.py:1625-1639). Rules remain for datasets whose split
+IS the documented rule (BlendedMVS hex-mod-10 — vendored list equals the
+rule output, tested — MPSD precomputed npys, path prefixes) and as the
+fallback for scenes outside the vendored lists.
 
 Use :func:`assign_split` to classify a scene, or :func:`split_scenes`
 to partition a scene list into {"train", "val", "test"}.
@@ -14,10 +17,20 @@ to partition a scene list into {"train", "val", "test"}.
 
 from __future__ import annotations
 
+import functools
+import json
 from pathlib import Path
 from typing import Dict, Iterable, List, Optional, Sequence
 
 import numpy as np
+
+
+@functools.lru_cache(None)
+def reference_split_lists() -> Dict[str, Dict[str, object]]:
+    """The vendored reference scene lists (reference_splits.json)."""
+    path = Path(__file__).with_name("reference_splits.json")
+    with open(path) as f:
+        return json.load(f)
 
 # Curated validation/test scene lists (reference data_splits.py:1570-1601)
 TARTANAIRV2_VAL = ("EndofTheWorld", "HongKong", "WesternDesertTown")
@@ -151,9 +164,37 @@ class PathPrefixRule(SplitRule):
         return "train"
 
 
+def _vendored(dataset: str, fallback: Optional[SplitRule] = None) -> SplitRule:
+    lists = reference_split_lists()[dataset]
+    rule = NamedValTestRule(val=lists.get("val", ()), test=lists.get("test", ()))
+    if fallback is None:
+        return rule
+
+    known = set()
+    for key in ("train", "val", "test"):
+        v = lists.get(key)
+        known.update(v if isinstance(v, list) else ())
+    # ids the reference enumerates but assigns to NO split (its
+    # valid-sequence filter drops them): keep them out of val/test.
+    dropped = set(lists.get("all", ())) - known
+
+    class _WithFallback(SplitRule):
+        def assign(self, scene_name, all_scenes):
+            if scene_name in known:
+                return rule.assign(scene_name, all_scenes)
+            if scene_name in dropped:
+                return "train"
+            return fallback.assign(scene_name, all_scenes)
+
+    return _WithFallback()
+
+
 SPLIT_RULES: Dict[str, SplitRule] = {
     "ase": SeededFractionRule(val_frac=0.05),
-    "blendedmvs": HexMod10Rule(),
+    # Vendored reference lists (the rule output matches except one id the
+    # reference's valid-sequence filter drops); hex-mod-10 rule covers
+    # scenes outside the vendored enumeration.
+    "blendedmvs": None,  # installed below (vendored + rule fallback)
     "co3d": SeededFractionRule(val_frac=0.05),
     "dl3dv": SeededFractionRule(val_frac=0.02),
     "dynamicreplica": SeededFractionRule(val_frac=0.05),
@@ -163,11 +204,15 @@ SPLIT_RULES: Dict[str, SplitRule] = {
     "mvs_synth": SeededFractionRule(val_frac=0.05),
     "paralleldomain4d": SeededFractionRule(val_frac=0.05),
     "sailvos3d": SeededFractionRule(val_frac=0.05),
-    "scannetppv2": SeededFractionRule(val_frac=0.1, test_frac=0.1),
+    # The reference's 80/10/10 draw is not seed-reproducible: use the
+    # vendored 30-scene val/test lists verbatim (benchmark set).
+    "scannetppv2": None,  # installed below (vendored)
     "spring": PathPrefixRule(val=SPRING_VAL),
     "tav2_wb": NamedValTestRule(val=TARTANAIRV2_VAL, test=TARTANAIRV2_TEST),
     "unrealstereo4k": SeededFractionRule(val_frac=0.05),
 }
+SPLIT_RULES["scannetppv2"] = _vendored("scannetppv2")
+SPLIT_RULES["blendedmvs"] = _vendored("blendedmvs", fallback=HexMod10Rule())
 
 
 def assign_split(dataset: str, scene_name: str, all_scenes: Sequence[str]) -> str:

@@ -33,12 +33,21 @@ Dtype = jnp.dtype
 default_kernel_init = nn.initializers.xavier_uniform()
 
 
+def exact_gelu(x):
+    """Erf-based GELU, matching torch ``nn.GELU()``'s default (the reference
+    uses it everywhere); flax's ``nn.gelu`` defaults to the tanh approximation
+    which differs by up to ~3e-3 per activation."""
+    return nn.gelu(x, approximate=False)
+
+
 class Mlp(nn.Module):
     """Two-layer MLP with GELU (reference transformer_blocks.py Mlp)."""
 
     hidden_features: int
     out_features: int
-    act: Callable = nn.gelu
+    # Exact (erf) GELU: the reference's nn.GELU default
+    # (transformer_blocks.py Mlp); flax's default is the tanh approximation.
+    act: Callable = exact_gelu
     drop: float = 0.0
     dtype: Dtype = jnp.float32
 
@@ -115,6 +124,13 @@ class Attention(nn.Module):
     use_entropy_scaling: bool = False
     base_token_count_for_entropy_scaling: int = 444
     entropy_scaling_growth_factor: float = 1.4
+    # Context-parallel routing (trunk global layers): when cp_global is set
+    # and a parallel.cp context is active, the LAST cp_extra_tokens tokens
+    # are the replicated additional-token set (scale token) and the rest are
+    # view-sharded grid tokens — attention runs through the explicit
+    # allgather/ring schedules of parallel/sharded_attention.py.
+    cp_global: bool = False
+    cp_extra_tokens: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -150,7 +166,29 @@ class Attention(nn.Module):
                 self.entropy_scaling_growth_factor,
             )
 
-        out = sdpa(q, k, v, scale=head_dim**-0.5)
+        cp = None
+        if self.cp_global:
+            from mapanything_tpu.parallel.cp import current_cp
+
+            cp = current_cp()
+        if cp is not None:
+            from mapanything_tpu.parallel.sharded_attention import (
+                global_attention_cp,
+            )
+
+            E = self.cp_extra_tokens
+            g = N - E
+            og, oe = global_attention_cp(
+                q[:, :g], k[:, :g], v[:, :g],
+                q[:, g:] if E else None,
+                k[:, g:] if E else None,
+                v[:, g:] if E else None,
+                mesh=cp.mesh, scale=head_dim**-0.5, axis=cp.axis,
+                schedule=cp.schedule, backend=cp.backend,
+            )
+            out = jnp.concatenate([og, oe.astype(og.dtype)], 1) if E else og
+        else:
+            out = sdpa(q, k, v, scale=head_dim**-0.5)
         out = out.reshape(B, N, self.dim)
         out = nn.Dense(
             self.dim, dtype=self.dtype, kernel_init=default_kernel_init, name="proj"
@@ -249,6 +287,8 @@ class SelfAttentionBlock(nn.Module):
     entropy_scaling_growth_factor: float = 1.4
     differential: bool = False
     layer_depth: int = 0
+    cp_global: bool = False
+    cp_extra_tokens: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -289,6 +329,8 @@ class SelfAttentionBlock(nn.Module):
                 use_entropy_scaling=self.use_entropy_scaling,
                 base_token_count_for_entropy_scaling=self.base_token_count_for_entropy_scaling,
                 entropy_scaling_growth_factor=self.entropy_scaling_growth_factor,
+                cp_global=self.cp_global,
+                cp_extra_tokens=self.cp_extra_tokens,
                 dtype=self.dtype,
                 name="attn",
             )(y, xpos, deterministic)

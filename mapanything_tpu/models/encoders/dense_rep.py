@@ -56,9 +56,9 @@ class ResidualBlock(nn.Module):
             else x
         )
         out = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(x)
-        out = nn.gelu(out)
+        out = nn.gelu(out, approximate=False)
         out = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(out)
-        return nn.gelu(out + identity)
+        return nn.gelu(out + identity, approximate=False)
 
 
 class DenseRepresentationEncoder(nn.Module):
@@ -121,6 +121,6 @@ class GlobalRepresentationEncoder(nn.Module):
         x = x.astype(self.dtype)
         for i, d in enumerate(self.intermediate_dims):
             x = nn.Dense(d, dtype=self.dtype, name=f"fc_{i}")(x)
-            x = nn.gelu(x)
+            x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.enc_embed_dim, dtype=self.dtype, name="fc_out")(x)
         return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)

@@ -20,6 +20,7 @@ from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from mapanything_tpu.models.blocks import SelfAttentionBlock
@@ -34,12 +35,44 @@ VIT_SIZES = {
 }
 
 
+def _torch_bicubic_matrix(n_in: int, n_out: int, scale: float) -> np.ndarray:
+    """(n_out, n_in) matrix reproducing torch ``F.interpolate`` bicubic
+    (align_corners=False, antialias=False, cubic A=-0.75) for a given
+    effective scale factor (ATen maps src = (dst + 0.5) / scale - 0.5 and
+    clamps the 4 taps to the border)."""
+    A = -0.75
+
+    def cubic(t):
+        t = np.abs(t)
+        return np.where(
+            t <= 1.0,
+            ((A + 2.0) * t - (A + 3.0)) * t * t + 1.0,
+            np.where(t < 2.0, ((A * t - 5.0 * A) * t + 8.0 * A) * t - 4.0 * A, 0.0),
+        )
+
+    dst = np.arange(n_out, dtype=np.float64)
+    src = (dst + 0.5) / scale - 0.5
+    i0 = np.floor(src).astype(np.int64)
+    t = src - i0
+    mat = np.zeros((n_out, n_in), np.float64)
+    for tap, off in enumerate((-1, 0, 1, 2)):
+        idx = np.clip(i0 + off, 0, n_in - 1)
+        wgt = cubic(t - off)
+        np.add.at(mat, (np.arange(n_out), idx), wgt)
+    return mat.astype(np.float32)
+
+
 def interpolate_pos_embed(
-    pos_embed: jnp.ndarray, h: int, w: int, antialias: bool = True
+    pos_embed: jnp.ndarray, h: int, w: int, interpolate_offset: float = 0.1
 ) -> jnp.ndarray:
     """Bicubic-resize a (1, N0, C) grid pos-embed to (1, h*w, C).
 
-    Mirrors DINOv2's ``interpolate_pos_encoding`` (square source grid).
+    Exactly mirrors DINOv2's ``interpolate_pos_encoding``
+    (vendored vision_transformer.py:208): torch bicubic (A=-0.75,
+    antialias=False) with the historical ``scale_factor=(n+0.1)/M`` kludge.
+    Implemented as two static interpolation matrices contracted on the MXU
+    (verified to 1e-6 against ``F.interpolate`` in
+    tests/test_reference_parity.py).
     """
     n0 = pos_embed.shape[1]
     g0 = int(round(n0**0.5))
@@ -48,9 +81,17 @@ def interpolate_pos_embed(
     if (g0, g0) == (h, w):
         return pos_embed
     c = pos_embed.shape[-1]
-    grid = pos_embed.reshape(1, g0, g0, c)
-    resized = jax.image.resize(grid, (1, h, w, c), method="bicubic", antialias=antialias)
-    return resized.reshape(1, h * w, c)
+    grid = pos_embed.reshape(g0, g0, c)
+    mh = jnp.asarray(
+        _torch_bicubic_matrix(g0, h, (h + interpolate_offset) / g0), grid.dtype
+    )
+    mw = jnp.asarray(
+        _torch_bicubic_matrix(g0, w, (w + interpolate_offset) / g0), grid.dtype
+    )
+    prec = jax.lax.Precision.HIGHEST if grid.dtype == jnp.float32 else None
+    out = jnp.einsum("oh,hwc->owc", mh, grid, precision=prec)
+    out = jnp.einsum("pw,hwc->hpc", mw, out, precision=prec)
+    return out.reshape(1, h * w, c)
 
 
 class ViTEncoder(nn.Module):

@@ -143,13 +143,11 @@ class DPTFeature(nn.Module):
             if idx == 0:
                 y = nn.ConvTranspose(
                     self.layer_dims[0], (4, 4), strides=(4, 4), dtype=self.dtype,
-                    name="act_0_up4",
-                )(y)
+                    name="act_0_up4", transpose_kernel=True,)(y)
             elif idx == 1:
                 y = nn.ConvTranspose(
                     self.layer_dims[1], (2, 2), strides=(2, 2), dtype=self.dtype,
-                    name="act_1_up2",
-                )(y)
+                    name="act_1_up2", transpose_kernel=True,)(y)
             elif idx == 3:
                 y = nn.Conv(
                     self.layer_dims[3], (3, 3), strides=(2, 2), padding=1,

@@ -74,8 +74,7 @@ class MoGeConvFeature(nn.Module):
             x = jnp.concatenate([x, _uv_grid(bb, hh, ww, x.dtype)], axis=-1)
             x = nn.ConvTranspose(
                 out_ch, (2, 2), strides=(2, 2), dtype=self.dtype,
-                name=f"upsample_{i}_deconv",
-            )(x)
+                name=f"upsample_{i}_deconv", transpose_kernel=True,)(x)
             x = nn.Conv(
                 out_ch, (3, 3), padding=1, dtype=self.dtype,
                 name=f"upsample_{i}_conv",

@@ -51,6 +51,10 @@ class AlternatingAttentionTransformer(nn.Module):
     entropy_scaling_growth_factor: float = 1.4
     indices: Optional[Sequence[int]] = None  # intermediate taps (IFR)
     norm_intermediate: bool = True
+    # Route global (even) layers through the explicit context-parallel
+    # schedules when a parallel.cp context is active (view-sharded V*P grid
+    # tokens + replicated scale token; see parallel/sharded_attention.py).
+    context_parallel: bool = False
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -125,6 +129,8 @@ class AlternatingAttentionTransformer(nn.Module):
                 use_entropy_scaling=self.use_entropy_scaling,
                 base_token_count_for_entropy_scaling=self.base_token_count_for_entropy_scaling,
                 entropy_scaling_growth_factor=self.entropy_scaling_growth_factor,
+                cp_global=self.context_parallel and depth_idx % 2 == 0,
+                cp_extra_tokens=T,
                 dtype=self.dtype,
                 name=f"block_{depth_idx}",
             )

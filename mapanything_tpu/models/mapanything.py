@@ -280,6 +280,9 @@ class MapAnythingConfig:
     pose_adaptor: PoseAdaptorConfig = field(default_factory=PoseAdaptorConfig)
     scale_adaptor: ScaleAdaptorConfig = field(default_factory=ScaleAdaptorConfig)
     # execution
+    # Route the trunk's global layers through the explicit context-parallel
+    # schedules (ring / allgather-KV) when a parallel.cp context is active.
+    context_parallel_trunk: bool = False
     compute_dtype: str = "float32"  # bf16 on TPU
     # Dense/pose/scale head compute dtype. "float32" matches the reference
     # (model.py:1774 forces autocast off for the heads); "bfloat16" runs the
@@ -407,6 +410,7 @@ class MapAnything(nn.Module):
                 in_chans=3,
                 enc_embed_dim=embed_dim,
                 patch_size=cfg.patch_size,
+                apply_pe=False,  # configs/model/task/default.yaml
                 name="ray_dirs_encoder",
             )(rays.reshape(B * V, H, W, 3))
             ray_feats = ray_feats.reshape(B, V, h, w, embed_dim)
@@ -432,6 +436,7 @@ class MapAnything(nn.Module):
                 in_chans=1,
                 enc_embed_dim=embed_dim,
                 patch_size=cfg.patch_size,
+                apply_pe=False,  # configs/model/task/default.yaml
                 name="depth_encoder",
             )(depth_log)
             depth_feats = depth_feats.reshape(B, V, h, w, embed_dim)
@@ -516,6 +521,7 @@ class MapAnything(nn.Module):
             use_rand_idx_pe_for_non_reference_views=cfg.use_rand_idx_pe_for_non_reference_views,
             use_scalable_softmax=cfg.use_scalable_softmax,
             use_entropy_scaling=cfg.use_entropy_scaling,
+            context_parallel=cfg.context_parallel_trunk,
             dtype=dtype,
             remat=cfg.remat,
             name="info_sharing",
@@ -529,8 +535,11 @@ class MapAnything(nn.Module):
         # ------------------------------------------------------------------
         hdt = jnp.dtype(cfg.head_dtype)
         fdt = jnp.dtype(cfg.dpt_fusion_dtype or cfg.compute_dtype)
+        # Hook 0 consumes the FUSED post-fusion-norm features (the trunk
+        # input), matching the reference's ``all_encoder_features_across_views``
+        # (model.py:1730-1737) — not the raw image-encoder output.
         dense_inputs = [
-            enc_feats.astype(fdt),
+            feats.astype(fdt),
             intermediates[0].astype(fdt),
             intermediates[1].astype(fdt),
             final_feats.astype(fdt),

@@ -882,3 +882,37 @@ def flash_attention(
         scale = q.shape[-1] ** -0.5
     return _flash(q, k, v, float(scale), block_q, block_k, interpret,
                   k.shape[1])
+
+
+def flash_attention_lse(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+):
+    """Flash attention that ALSO returns the natural-log softmax normalizer.
+
+    Returns:
+        (o, lse): o is (B, Tq, H, D) like :func:`flash_attention`;
+        lse is (B, H, Tq) fp32 with lse[b, h, i] = log(sum_j exp(s_ij))
+        of the SCALED logits s = (q . k) * scale.
+
+    This is the building block for cross-device softmax merging (ring /
+    blockwise attention, parallel/sharded_attention.py): partial outputs
+    from different KV shards combine exactly via
+    ``o = sum_b o_b * exp(lse_b - logaddexp_b lse_b)``.
+
+    No custom vjp is defined — callers (ring attention) own the backward
+    pass at the merge level.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, tq, h, d = q.shape
+    o, res = _run_3d(q, k, v, float(scale), block_q, block_k, interpret,
+                     with_lse=True)
+    lse2 = res[-1][:, :tq]  # (B*H, Tq), base-2, shifted by -SHIFT2
+    lse = (lse2 + SHIFT2) * LN2
+    return o, lse.reshape(b, h, tq)

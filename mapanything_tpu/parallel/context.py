@@ -26,6 +26,11 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mapanything_tpu.models.mapanything import MapAnything, Views
+from mapanything_tpu.parallel.cp import (  # noqa: F401  (public re-exports)
+    CPContext,
+    context_parallel_attention,
+    current_cp,
+)
 from mapanything_tpu.parallel.mesh import DATA_AXIS, VIEW_AXIS
 
 

@@ -5,7 +5,8 @@ the MapAnything trunk/heads) into this framework. Conversion rules:
 
   - Linear: torch (out, in) weight -> flax (in, out) kernel;
   - Conv2d: torch (out, in, kh, kw) -> flax (kh, kw, in, out);
-  - ConvTranspose2d: torch (in, out, kh, kw) -> flax (kh, kw, in, out);
+  - ConvTranspose2d: torch (in, out, kh, kw) -> flax (kh, kw, out, in)
+    with transpose_kernel=True;
   - LayerNorm: weight/bias -> scale/bias;
   - DINOv2 block naming (blocks.N.attn.qkv...) -> our block_N/attn/qkv...
 
@@ -45,8 +46,12 @@ def conv2d(w, b=None):
 
 
 def conv_transpose2d(w, b=None):
-    # torch: (in, out, kh, kw) -> flax ConvTranspose: (kh, kw, in, out)
-    out = {"kernel": _t(w).transpose(2, 3, 0, 1)}
+    # torch: (in, out, kh, kw) -> flax ConvTranspose(transpose_kernel=True):
+    # (kh, kw, out, in). transpose_kernel=True is required for exact torch
+    # semantics — the default flax layout applies the kernel spatially
+    # flipped (verified against nn.ConvTranspose2d in
+    # tests/test_reference_parity.py).
+    out = {"kernel": _t(w).transpose(2, 3, 1, 0)}
     if b is not None:
         out["bias"] = _t(b)
     return out

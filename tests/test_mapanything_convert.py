@@ -582,8 +582,10 @@ class TestMoGeConversion:
         emb = target["head"]["project_0"]["kernel"].shape[2]
         n_proj = sum(1 for k in target["head"] if k.startswith("project_"))
         dim_proj = target["head"]["project_0"]["kernel"].shape[3]
+        # flax ConvTranspose(transpose_kernel=True) kernels are
+        # (kh, kw, out, in) — out_features is axis 2.
         ups = [
-            target["head"][f"upsample_{i}"]["kernel"].shape[3]
+            target["head"][f"upsample_{i}"]["kernel"].shape[2]
             for i in range(
                 sum(1 for k in target["head"] if k.startswith("upsample_"))
             )

@@ -66,3 +66,14 @@ def test_ring_gradients_flow(qkv, mesh):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+def test_ring_pallas_kernel_matches_reference(qkv, mesh):
+    """The production per-step kernel (Pallas, interpreter mode on CPU)
+    merges identically to the einsum path."""
+    q, k, v = qkv
+    out = ring_attention(
+        q, k, v, mesh, scale=0.18, backend="pallas_interpret"
+    )
+    ref = reference(q, k, v, 0.18)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
