@@ -31,6 +31,65 @@ import numpy as np
 # hardware (see module docstring).
 ROUND1_VIEWS_PER_S = 15.3
 
+# v5e bf16 matmul peak (TFLOP/s) for the MFU figure; head_dim-64 attention
+# can use at most ~half the 128-wide MXU contraction (docs/PERFORMANCE.md).
+V5E_PEAK_TFLOPS = 197.0
+
+
+def analytic_forward_flops(B, V, H, W, enc_dim=1024, enc_depth=24,
+                           trunk_dim=768, trunk_depth=24, patch=14,
+                           dpt_feat=256, dpt_layers=(96, 192, 384, 768)):
+    """Matmul/conv FLOPs (2*M*N*K) of one flagship forward pass.
+
+    Counts the encoder, trunk, DPT, and regressor convs; elementwise work
+    and the tiny pose/scale heads are excluded (sub-1%).
+    """
+    h, w = H // patch, W // patch
+    P = h * w
+
+    def vit_layer(T, C):
+        return 24 * T * C * C + 4 * T * T * C
+
+    flops = 0
+    # encoder: patch embed + 24 ViT-L layers on (B*V, P+1) tokens
+    T = P + 1
+    flops += B * V * (2 * P * enc_dim * 3 * patch * patch)
+    flops += B * V * enc_depth * vit_layer(T, enc_dim)
+    # trunk: proj embed + alternating layers over V*P+1 / P tokens
+    Tg = V * P + 1
+    flops += B * 2 * Tg * enc_dim * trunk_dim
+    for layer in range(trunk_depth):
+        if layer % 2 == 0:
+            flops += B * vit_layer(Tg, trunk_dim)
+        else:
+            flops += B * V * vit_layer(P, trunk_dim)
+
+    def conv(hh, ww, k, cin, cout):
+        return 2 * B * V * hh * ww * k * k * cin * cout
+
+    # DPT reassemble/fusion pyramid
+    in_dims = (enc_dim,) + (trunk_dim,) * 3
+    scales = (4, 2, 1, 0.5)
+    for i, (cin, ld) in enumerate(zip(in_dims, dpt_layers)):
+        flops += conv(h, w, 1, cin, ld)                  # 1x1 proj
+        if scales[i] == 4:
+            flops += conv(4 * h, 4 * w, 1, ld, ld)       # up4 (matmul form)
+        elif scales[i] == 2:
+            flops += conv(2 * h, 2 * w, 1, ld, ld)
+        elif scales[i] == 0.5:
+            flops += conv(h // 2, w // 2, 3, ld, ld)
+        s = int(scales[i] * 2) if scales[i] >= 1 else 1
+        flops += conv(int(scales[i] * h), int(scales[i] * w), 3, ld, dpt_feat)
+    # refinenets: 2 res units (2 conv3x3) + out conv at 1x..8x
+    for s in (1, 2, 4, 8):
+        flops += 4 * conv(s * h, s * w, 3, dpt_feat, dpt_feat)
+        flops += conv(2 * s * h, 2 * s * w, 1, dpt_feat, dpt_feat)
+    # regressor: conv3x3 at 8x, resize, conv3x3 + 1x1 at full res
+    flops += conv(8 * h, 8 * w, 3, dpt_feat, dpt_feat // 2)
+    flops += conv(H, W, 3, dpt_feat // 2, dpt_feat // 2)
+    flops += conv(H, W, 1, dpt_feat // 2, 6)
+    return flops
+
 
 def main():
     import jax
@@ -91,18 +150,19 @@ def main():
     assert np.isfinite(total_check)
 
     views_per_s = B * V / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"{V}-view {H}px images-only metric inference throughput",
-                "value": round(views_per_s, 3),
-                "unit": "views/s/chip",
-                "vs_baseline": (
-                    round(views_per_s / ROUND1_VIEWS_PER_S, 3) if on_tpu else 1.0
-                ),
-            }
-        )
-    )
+    flops = analytic_forward_flops(B, V, H, W) if on_tpu else None
+    record = {
+        "metric": f"{V}-view {H}px images-only metric inference throughput",
+        "value": round(views_per_s, 3),
+        "unit": "views/s/chip",
+        "vs_baseline": (
+            round(views_per_s / ROUND1_VIEWS_PER_S, 3) if on_tpu else 1.0
+        ),
+    }
+    if flops is not None:
+        record["model_tflop"] = round(flops / 1e12, 3)
+        record["mfu"] = round(flops / dt / (V5E_PEAK_TFLOPS * 1e12), 4)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

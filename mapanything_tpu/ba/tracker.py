@@ -339,3 +339,81 @@ def predict_tracks(
         vis = scores >= vis_thresh
 
     return tracks, vis, scores
+
+
+def predict_tracks_descriptors(
+    images,
+    pair_desc_fn,
+    query_frame_num: int = 3,
+    subsample: int = 8,
+    sim_thresh: float = 0.0,
+):
+    """Multi-view tracks via learned-descriptor reciprocal matching.
+
+    The learned replacement for the NCC tracker (VERDICT r1 item 7): the
+    reference drives BA with the VGGSfM transformer tracker
+    (third_party/track_predict.py:23); here the MASt3R local-feature head
+    (models/external/mast3r.py) supplies dense descriptors and
+    mutual-nearest-neighbour matching replaces patch NCC.
+
+    Args:
+        images: (S, H, W, 3) in [0, 1].
+        pair_desc_fn: (img_a (H,W,3), img_b (H,W,3)) ->
+            (desc_a (H,W,D), desc_b (H,W,D)) L2-normalized descriptor maps
+            (e.g. a closed-over MASt3RModel.apply on the stacked pair).
+        query_frame_num: anchor frames (select_query_frames scoring).
+        subsample: anchor-grid stride in the query frame.
+        sim_thresh: minimum cosine similarity for a visible match.
+
+    Returns:
+        tracks (S, N, 2) float32, visibility (S, N) bool, scores (S, N).
+    """
+    from mapanything_tpu.models.external.mast3r import reciprocal_matches
+
+    images = jnp.asarray(images)
+    S, H, W, _ = images.shape
+    queries = select_query_frames(np.asarray(images), query_frame_num)
+
+    all_tracks, all_vis, all_scores = [], [], []
+    for q in queries:
+        tr, vis, sc = [], [], []
+        anchors = None
+        for s in range(S):
+            if s == q:
+                continue
+            desc_q, desc_s = pair_desc_fn(images[q], images[s])
+            pix1, pix2, valid = reciprocal_matches(
+                desc_q, desc_s, subsample=subsample
+            )
+            if anchors is None:
+                anchors = np.asarray(pix1, np.float32)
+            sim = jnp.sum(
+                desc_q[pix1[:, 1], pix1[:, 0]]
+                * desc_s[pix2[:, 1], pix2[:, 0]],
+                axis=-1,
+            )
+            tr.append((s, np.asarray(pix2, np.float32)))
+            vis.append((s, np.asarray(valid & (sim >= sim_thresh))))
+            sc.append((s, np.asarray(sim, np.float32)))
+        n = anchors.shape[0]
+        tracks = np.zeros((S, n, 2), np.float32)
+        visibility = np.zeros((S, n), bool)
+        scores = np.zeros((S, n), np.float32)
+        tracks[q] = anchors
+        visibility[q] = True
+        scores[q] = 1.0
+        for s, t in tr:
+            tracks[s] = t
+        for s, v in vis:
+            visibility[s] = v
+        for s, c in sc:
+            scores[s] = c
+        all_tracks.append(tracks)
+        all_vis.append(visibility)
+        all_scores.append(scores)
+
+    return (
+        np.concatenate(all_tracks, axis=1),
+        np.concatenate(all_vis, axis=1),
+        np.concatenate(all_scores, axis=1),
+    )

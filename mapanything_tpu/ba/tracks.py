@@ -158,18 +158,28 @@ def tracks_from_photometric_tracker(
 
     from mapanything_tpu.ba.tracker import predict_tracks, select_query_frames
 
-    V, H, W = depth_z.shape
     tracks_uv, vis, scores = predict_tracks(
         images,
         max_query_pts=max_query_pts,
         query_frame_num=query_frame_num,
         vis_thresh=vis_thresh,
     )  # (V, N, 2), (V, N), (V, N)
-    N = tracks_uv.shape[1]
+    return _assemble_tracks_from_uv(
+        tracks_uv, vis, scores, depth_z, intrinsics, camera_poses
+    )
 
-    # 3D init: per track, unproject from its query frame (the frame with
-    # score == 1, by construction the seeding frame).
-    q_frame = np.argmax(scores, axis=0)  # (N,)
+
+def _assemble_tracks_from_uv(
+    tracks_uv, vis, scores, depth_z, intrinsics, camera_poses
+) -> Tracks:
+    """(V, N, 2)/(V, N) tracker outputs -> Tracks; each track's 3D point
+    initializes from its query frame (score == 1 by construction)."""
+    import numpy as np
+
+    V, H, W = np.asarray(depth_z).shape
+    tracks_uv = np.asarray(tracks_uv)
+    N = tracks_uv.shape[1]
+    q_frame = np.argmax(np.asarray(scores), axis=0)  # (N,)
     dz = np.asarray(depth_z)
     Kn = np.asarray(intrinsics)
     P = np.asarray(camera_poses)
@@ -188,9 +198,38 @@ def tracks_from_photometric_tracker(
     w2c = np.asarray(closed_form_pose_inverse(jnp.asarray(P)))
     return Tracks(
         points3d=jnp.asarray(pts3d),
-        observations_uv=jnp.asarray(np.swapaxes(np.asarray(tracks_uv), 0, 1)),
+        observations_uv=jnp.asarray(np.swapaxes(tracks_uv, 0, 1)),
         valid=jnp.asarray(np.swapaxes(np.asarray(vis), 0, 1)),
         intrinsics=jnp.asarray(Kn),
         cam_from_world_rot=jnp.asarray(w2c[:, :3, :3]),
         cam_from_world_trans=jnp.asarray(w2c[:, :3, 3]),
+    )
+
+
+def tracks_from_descriptor_matcher(
+    images: jnp.ndarray,
+    pair_desc_fn,
+    intrinsics: jnp.ndarray,
+    camera_poses: jnp.ndarray,
+    depth_z: jnp.ndarray,
+    query_frame_num: int = 3,
+    subsample: int = 8,
+    sim_thresh: float = 0.2,
+) -> Tracks:
+    """Tracks from learned-descriptor matching (MASt3R local features),
+    triangulation-free: 3D seeds unproject the query pixels with the
+    predicted depth (same scheme as tracks_from_photometric_tracker).
+
+    This replaces Harris+NCC with the already-native descriptor head —
+    VERDICT r1 item 7; reference analogue: VGGSfM tracks feeding
+    pycolmap.bundle_adjustment (scripts/demo_colmap.py:466-485).
+    """
+    from mapanything_tpu.ba.tracker import predict_tracks_descriptors
+
+    tracks, vis, scores = predict_tracks_descriptors(
+        images, pair_desc_fn, query_frame_num=query_frame_num,
+        subsample=subsample, sim_thresh=sim_thresh,
+    )
+    return _assemble_tracks_from_uv(
+        tracks, vis, scores, depth_z, intrinsics, camera_poses
     )

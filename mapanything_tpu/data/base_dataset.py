@@ -21,6 +21,8 @@ from typing import Dict, List, Optional, Tuple, Union
 import numpy as np
 from scipy.spatial.transform import Rotation
 
+from mapanything_tpu.data.transforms import apply_color_transform
+
 from mapanything_tpu.data.cropping import crop_resize_if_necessary
 from mapanything_tpu.data.easy_dataset import EasyDataset
 from mapanything_tpu.models.encoders.normalizations import IMAGE_NORMALIZATION_DICT
@@ -84,6 +86,7 @@ class BaseDataset(EasyDataset):
         resolution: Union[int, Tuple, List] = None,
         principal_point_centered: bool = False,
         data_norm_type: str = "dinov2",
+        transform: str = "imgnorm",
         aug_crop: int = 0,
         seed: Optional[int] = None,
         max_num_retries: int = 5,
@@ -95,6 +98,9 @@ class BaseDataset(EasyDataset):
         self.covisibility_thres = covisibility_thres
         self.principal_point_centered = principal_point_centered
         self.data_norm_type = data_norm_type
+        # Color augmentation spec (reference base_dataset.py:70-131):
+        # "imgnorm" | "colorjitter" | "colorjitter+grayscale+gaublur".
+        self.transform = transform
         self.aug_crop = aug_crop
         self.seed = seed
         self.max_num_retries = max_num_retries
@@ -259,6 +265,7 @@ class BaseDataset(EasyDataset):
             img = np.asarray(view["img"])
             if img.dtype == np.uint8:
                 img = img.astype(np.float32) / 255.0
+            img = apply_color_transform(img, self.transform, self._rng)
             view["img_no_norm"] = img
             view["img"] = (
                 norm.apply(img) if norm is not None else img
@@ -337,4 +344,7 @@ def collate_views(samples: List[List[Dict]]) -> Dict[str, np.ndarray]:
     out["is_synthetic"] = np.asarray(
         [views[0]["is_synthetic"] for views in samples], bool
     )
+    # Scene labels ride along for per-scene benchmark aggregation
+    # (reference benchmark.py:307 groups metrics by view["label"]).
+    out["label"] = [str(views[0].get("label", "")) for views in samples]
     return out

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import pickle
 import time
+import dataclasses
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Dict, Optional
@@ -26,7 +27,11 @@ import numpy as np
 from mapanything_tpu.models.mapanything import GeometricInputConfig, MapAnything
 from mapanything_tpu.train.checkpointing import CheckpointManager
 from mapanything_tpu.train.losses import LossBatch, LossConfig
-from mapanything_tpu.train.optim import OptimConfig, build_optimizer
+from mapanything_tpu.train.optim import (
+    OptimConfig,
+    SubmoduleOptimConfig,
+    build_optimizer,
+)
 from mapanything_tpu.train.step import TrainState, make_eval_step, make_train_step
 from mapanything_tpu.utils.logging import (
     JsonlLogger,
@@ -51,6 +56,10 @@ class TrainLoopConfig:
     seed: int = 0
     max_loss_explosion: float = 1e4  # NaN/explosion abort threshold
     resume: bool = True
+    # Per-submodule optimizer overrides, {name: {"lr_scale": f,
+    # "weight_decay": f, "frozen": bool}} (configs/train_params/*.yaml,
+    # reference train_tools.py:760 parameter groups).
+    submodule_configs: dict = dataclasses.field(default_factory=dict)
 
 
 def loss_batch_from_numpy(batch_np: Dict[str, np.ndarray]) -> LossBatch:
@@ -93,6 +102,13 @@ class Trainer:
         self.geo_cfg = geo_cfg
 
         epoch_len = max(len(train_loader), 1)
+        submods = {
+            name: SubmoduleOptimConfig(
+                lr_scale=0.0 if sub.get("frozen") else sub.get("lr_scale", 1.0),
+                weight_decay=sub.get("weight_decay"),
+            )
+            for name, sub in (cfg.submodule_configs or {}).items()
+        }
         self.opt_cfg = OptimConfig(
             lr=cfg.lr,
             min_lr=cfg.min_lr,
@@ -101,6 +117,7 @@ class Trainer:
             warmup_epochs=cfg.warmup_epochs,
             total_epochs=cfg.epochs,
             epoch_len=epoch_len,
+            submodules=submods,
         )
 
         if init_params is None:

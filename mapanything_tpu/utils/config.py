@@ -19,6 +19,7 @@ from typing import Any, Dict, List, Optional, Union
 import yaml
 
 _INTERP_RE = re.compile(r"^\$\{([^}]+)\}$")
+_EMBED_RE = re.compile(r"\$\{([^}]+)\}")
 _SPECIAL_FLOAT_RE = re.compile(r"^\$\{special_float:\"?(-?inf)\"?\}$")
 
 
@@ -59,6 +60,22 @@ def resolve_interpolations(cfg: Dict, root: Optional[Dict] = None) -> Dict:
                     return resolve(_resolve_path(root, m.group(1)))
                 except (KeyError, TypeError):
                     return v
+            # Embedded interpolations inside longer strings (the dataset
+            # DSL): substitute each ${a.b.c} with the str() of its value
+            # (OmegaConf string-interpolation semantics).
+            if "${" in v:
+
+                def sub(match):
+                    expr = match.group(1)
+                    if expr.startswith("special_float"):
+                        return "-inf" if "-inf" in expr else "inf"
+                    try:
+                        val = resolve(_resolve_path(root, expr))
+                    except (KeyError, TypeError):
+                        return match.group(0)
+                    return match.group(0) if isinstance(val, str) and "${" in val else str(val)
+
+                return _EMBED_RE.sub(sub, v)
         return v
 
     # Iterate to a fixed point for chained interpolations.

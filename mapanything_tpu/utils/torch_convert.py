@@ -573,3 +573,261 @@ def convert_moge(state: Mapping[str, np.ndarray]) -> Dict:
         )
     params["head"] = head
     return params
+
+
+def convert_pi3(state: Mapping[str, np.ndarray]) -> Dict:
+    """Upstream Pi3 state dict (vendored reference
+    ``mapanything/models/external/pi3/models/pi3.py:26``) -> our
+    ``models/external/pi3.Pi3`` param tree.
+
+    Upstream names: encoder.* (DINOv2 ViT-L/14 with 4 registers,
+    mask_token deleted); decoder.N.* (BlockRope: fused qkv + head-dim
+    qk-norm + LayerScale); register_token (1, 1, 5, C);
+    {point,conf,camera}_decoder.{projects, blocks.N, linear_out}
+    (transformer_head.py:12); {point,conf}_head.proj (LinearPts3d ->
+    our LinearFeature 1x1 conv); camera_head.{res_conv.N.res_convK,
+    more_mlps.0/2, fc_t, fc_rot} (camera_head.py:40).
+    """
+    sd = {k: _t(v) for k, v in state.items()}
+    params: Dict = {}
+
+    enc = {k[len("encoder."):]: v for k, v in sd.items()
+           if k.startswith("encoder.")}
+    params["encoder"] = convert_dinov2_vit(enc)
+
+    n_dec = _max_index(sd, r"decoder\.(\d+)\.")
+    for i in range(n_dec):
+        params[f"decoder_{i}"] = _convert_vit_block(sd, f"decoder.{i}.")
+
+    params["register_token"] = sd["register_token"][0]  # (1,1,5,C) -> (1,5,C)
+
+    def head_decoder(prefix):
+        out = {"project": linear(sd[prefix + "projects.weight"],
+                                 sd[prefix + "projects.bias"])}
+        n = _max_index(sd, re.escape(prefix) + r"blocks\.(\d+)\.")
+        for i in range(n):
+            out[f"block_{i}"] = _convert_vit_block(sd, f"{prefix}blocks.{i}.")
+        out["linear_out"] = linear(sd[prefix + "linear_out.weight"],
+                                   sd[prefix + "linear_out.bias"])
+        return out
+
+    params["point_decoder"] = head_decoder("point_decoder.")
+    params["conf_decoder"] = head_decoder("conf_decoder.")
+    params["camera_decoder"] = head_decoder("camera_decoder.")
+
+    def linear_feature(prefix):
+        # nn.Linear (out, in) -> our LinearFeature's 1x1 conv (1, 1, in, out)
+        w = _t(sd[prefix + "proj.weight"]).T[None, None]
+        return {"linear": {"kernel": w, "bias": _t(sd[prefix + "proj.bias"])}}
+
+    params["point_head"] = linear_feature("point_head.")
+    params["conf_head"] = linear_feature("conf_head.")
+
+    cam: Dict = {}
+    for i in range(_max_index(sd, r"camera_head\.res_conv\.(\d+)\.")):
+        for j in (1, 2, 3):
+            cam[f"res{i}_{j}"] = linear(
+                sd[f"camera_head.res_conv.{i}.res_conv{j}.weight"],
+                sd[f"camera_head.res_conv.{i}.res_conv{j}.bias"],
+            )
+    cam["mlp1"] = linear(sd["camera_head.more_mlps.0.weight"],
+                         sd["camera_head.more_mlps.0.bias"])
+    cam["mlp2"] = linear(sd["camera_head.more_mlps.2.weight"],
+                         sd["camera_head.more_mlps.2.bias"])
+    cam["fc_t"] = linear(sd["camera_head.fc_t.weight"],
+                         sd["camera_head.fc_t.bias"])
+    cam["fc_rot"] = linear(sd["camera_head.fc_rot.weight"],
+                           sd["camera_head.fc_rot.bias"])
+    params["camera_head"] = cam
+    return params
+
+
+# --------------------------------------------------------------------------
+# DUSt3R family (ModularDUSt3R / MASt3R / MUSt3R / Pow3R)
+# --------------------------------------------------------------------------
+
+
+def convert_croco_encoder(sd: Mapping[str, np.ndarray], p: str = "") -> Dict:
+    """CroCo/DUSt3R image encoder (patch_embed.proj, enc_blocks.N, enc_norm)
+    -> our ``CroCoEncoder`` tree (patch_embed, block_N, norm).
+
+    Upstream naming per the public DUSt3R/CroCoV2 release (the reference
+    wraps it via pip, models/external/mast3r/__init__.py)."""
+    sd = {k[len(p):]: _t(v) for k, v in sd.items() if k.startswith(p)}
+    out: Dict = {
+        "patch_embed": conv2d(
+            sd["patch_embed.proj.weight"], sd.get("patch_embed.proj.bias")
+        )
+    }
+    n = _max_index(sd, r"enc_blocks\.(\d+)\.")
+    for i in range(n):
+        out[f"block_{i}"] = _convert_vit_block(sd, f"enc_blocks.{i}.")
+    out["norm"] = layer_norm(sd["enc_norm.weight"], sd["enc_norm.bias"])
+    return out
+
+
+def _convert_decoder_block(sd: Mapping[str, np.ndarray], p: str) -> Dict:
+    """CroCo DecoderBlock (norm1/attn, norm2/cross_attn projq|k|v,
+    norm3/mlp, optional norm_y) -> our ``CrossAttentionBlock`` tree."""
+    blk: Dict = {
+        "norm1": layer_norm(sd[p + "norm1.weight"], sd[p + "norm1.bias"]),
+        "attn": {
+            "qkv": linear(sd[p + "attn.qkv.weight"], sd.get(p + "attn.qkv.bias")),
+            "proj": linear(
+                sd[p + "attn.proj.weight"], sd.get(p + "attn.proj.bias")
+            ),
+        },
+        "norm2": layer_norm(sd[p + "norm2.weight"], sd[p + "norm2.bias"]),
+        "cross_attn": {
+            "projq": linear(
+                sd[p + "cross_attn.projq.weight"],
+                sd.get(p + "cross_attn.projq.bias"),
+            ),
+            "projk": linear(
+                sd[p + "cross_attn.projk.weight"],
+                sd.get(p + "cross_attn.projk.bias"),
+            ),
+            "projv": linear(
+                sd[p + "cross_attn.projv.weight"],
+                sd.get(p + "cross_attn.projv.bias"),
+            ),
+            "proj": linear(
+                sd[p + "cross_attn.proj.weight"],
+                sd.get(p + "cross_attn.proj.bias"),
+            ),
+        },
+        "norm3": layer_norm(sd[p + "norm3.weight"], sd[p + "norm3.bias"]),
+        "mlp": {
+            "fc1": linear(sd[p + "mlp.fc1.weight"], sd[p + "mlp.fc1.bias"]),
+            "fc2": linear(sd[p + "mlp.fc2.weight"], sd[p + "mlp.fc2.bias"]),
+        },
+    }
+    if p + "norm_y.weight" in sd:
+        blk["norm_mem"] = layer_norm(
+            sd[p + "norm_y.weight"], sd[p + "norm_y.bias"]
+        )
+    return blk
+
+
+def convert_modular_dust3r(state: Mapping[str, np.ndarray]) -> Dict:
+    """DUSt3R-style checkpoint -> our ``ModularDUSt3R`` tree.
+
+    Maps: patch_embed/enc_blocks/enc_norm -> encoder; decoder_embed ->
+    decoder/proj_embed; dec_blocks.N -> decoder/ref_block_N; dec_blocks2.N
+    (asymmetric ckpts) or shared dec_blocks -> decoder/nonref_block_N;
+    dec_norm -> decoder/norm. The upstream DPT heads (downstream_head1/2)
+    use DUSt3R's fused DPTOutputAdapter layout, which decomposes
+    differently from our DPTFeature/DPTRegressionProcessor — converting
+    them requires released weights to validate, so they are intentionally
+    left unconverted (verify_tree_shapes reports them as missing; same
+    policy as convert_vggt's depth head)."""
+    sd = {
+        (k[len("module."):] if k.startswith("module.") else k): _t(v)
+        for k, v in state.items()
+    }
+    params: Dict = {"encoder": convert_croco_encoder(sd)}
+    dec: Dict = {}
+    if "decoder_embed.weight" in sd:
+        dec["proj_embed"] = linear(
+            sd["decoder_embed.weight"], sd.get("decoder_embed.bias")
+        )
+    n = _max_index(sd, r"dec_blocks\.(\d+)\.")
+    for i in range(n):
+        dec[f"ref_block_{i}"] = _convert_decoder_block(sd, f"dec_blocks.{i}.")
+        p2 = f"dec_blocks2.{i}." if f"dec_blocks2.{i}.norm1.weight" in sd else f"dec_blocks.{i}."
+        dec[f"nonref_block_{i}"] = _convert_decoder_block(sd, p2)
+    dec["norm"] = layer_norm(sd["dec_norm.weight"], sd["dec_norm.bias"])
+    params["decoder"] = dec
+    return params
+
+
+def convert_mast3r(state: Mapping[str, np.ndarray]) -> Dict:
+    """MASt3R checkpoint -> our ``MASt3RModel`` tree: the ModularDUSt3R
+    trunk plus the local-feature descriptor MLP
+    (downstream_head1.head_local_features: an Mlp fc1/fc2 whose pixel-
+    shuffled output is desc(24) + desc_conf, upstream
+    mast3r/catmlp_dpt_head.py)."""
+    sd = {k: _t(v) for k, v in state.items()}
+    params: Dict = {"trunk": convert_modular_dust3r(sd)}
+    p = "downstream_head1.head_local_features."
+    if p + "fc1.weight" in sd:
+        params["desc_mlp1"] = linear(sd[p + "fc1.weight"], sd[p + "fc1.bias"])
+        # fc2 emits (desc_dim+1) * patch**2 channels -> our LinearFeature
+        params["desc_head"] = {
+            "linear": {
+                "kernel": _t(sd[p + "fc2.weight"]).T[None, None],
+                "bias": _t(sd[p + "fc2.bias"]),
+            }
+        }
+    return params
+
+
+def convert_must3r(state: Mapping[str, np.ndarray]) -> Dict:
+    """MUSt3R checkpoint -> our ``MUSt3RModel`` tree (croco encoder +
+    decoder_embed + multi-view memory decoder + linear head; upstream
+    naive-ville/must3r follows the DUSt3R naming above)."""
+    sd = {k: _t(v) for k, v in state.items()}
+    params: Dict = {"encoder": convert_croco_encoder(sd)}
+    params["decoder_embed"] = linear(
+        sd["decoder_embed.weight"], sd.get("decoder_embed.bias")
+    )
+    dec: Dict = {}
+    n = _max_index(sd, r"dec_blocks\.(\d+)\.")
+    for i in range(n):
+        dec[f"block_{i}"] = _convert_decoder_block(sd, f"dec_blocks.{i}.")
+    dec["dec_norm"] = layer_norm(sd["dec_norm.weight"], sd["dec_norm.bias"])
+    params["decoder"] = dec
+    if "downstream_head.proj.weight" in sd:
+        params["head"] = {
+            "linear": {
+                "kernel": _t(sd["downstream_head.proj.weight"]).T[None, None],
+                "bias": _t(sd["downstream_head.proj.bias"]),
+            }
+        }
+    return params
+
+
+def convert_pow3r(state: Mapping[str, np.ndarray]) -> Dict:
+    """Pow3R checkpoint -> our ``Pow3RModel`` tree (dust3r-style trunk +
+    side-channel embedders; upstream naver/pow3r follows the DUSt3R
+    naming, with `pose_embed` MLPs for the camera side channels)."""
+    sd = {k: _t(v) for k, v in state.items()}
+    params: Dict = {}
+    params["patch_embed"] = conv2d(
+        sd["patch_embed.proj.weight"], sd.get("patch_embed.proj.bias")
+    )
+    if "patch_ln.weight" in sd:
+        params["patch_ln"] = layer_norm(sd["patch_ln.weight"], sd["patch_ln.bias"])
+    for i in range(_max_index(sd, r"enc_blocks\.(\d+)\.")):
+        params[f"enc_block_{i}"] = _convert_vit_block(sd, f"enc_blocks.{i}.")
+    params["enc_norm"] = layer_norm(sd["enc_norm.weight"], sd["enc_norm.bias"])
+    params["decoder_embed"] = linear(
+        sd["decoder_embed.weight"], sd.get("decoder_embed.bias")
+    )
+    for branch, pref in ((1, "dec_blocks."), (2, "dec_blocks2.")):
+        n = _max_index(sd, re.escape(pref[:-1]) + r"\.(\d+)\.")
+        for i in range(n):
+            params[f"dec{branch}_block_{i}"] = _convert_decoder_block(sd, f"{pref}{i}.")
+    for branch in (1, 2):
+        key = f"dec_norm{branch}"
+        src = "dec_norm" if "dec_norm.weight" in sd else f"dec_norm{branch}"
+        if src + ".weight" in sd:
+            params[key] = layer_norm(sd[src + ".weight"], sd[src + ".bias"])
+    if "pose_embed.0.weight" in sd:
+        params["pose_embed_hidden"] = linear(
+            sd["pose_embed.0.weight"], sd["pose_embed.0.bias"]
+        )
+        params["pose_embed_out"] = linear(
+            sd["pose_embed.2.weight"], sd["pose_embed.2.bias"]
+        )
+    return params
+
+
+def convert_radio_encoder(state: Mapping[str, np.ndarray]) -> Dict:
+    """NVIDIA RADIO torch-hub checkpoint -> our ``RADIOEncoder`` backbone
+    tree. RADIO's trunk is a timm/DINOv2-style ViT under ``model.*``
+    (radio_model.model.blocks.N...) — route through convert_dinov2_vit."""
+    sd = {k: _t(v) for k, v in state.items()}
+    prefix = "model." if any(k.startswith("model.") for k in sd) else ""
+    vit = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    return {"backbone": convert_dinov2_vit(vit)}

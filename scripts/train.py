@@ -83,21 +83,30 @@ def main():
         if k in LossConfig.__dataclass_fields__
     })
 
-    assert args.dataset_expr, "--dataset-expr required (WAI dataset DSL)"
-    dataset = build_dataset(args.dataset_expr)
+    dataset_expr = args.dataset_expr or cfg.get("dataset", {}).get("train_dataset")
+    assert dataset_expr and dataset_expr != "???", (
+        "no dataset: pass --dataset-expr or compose a configs/dataset group"
+    )
+    dataset = build_dataset(dataset_expr)
+    dist = cfg.get("distributed", {})
+    images_per_batch = cfg.get(
+        "images_per_batch", dist.get("max_num_of_imgs_per_chip", 8)
+    )
     loader = MultiViewDataLoader(
         dataset,
-        images_per_batch=cfg.get("images_per_batch", 8),
-        num_workers=cfg.get("num_workers", 8),
+        images_per_batch=images_per_batch,
+        num_workers=cfg.get("num_workers",
+                            cfg.get("dataset", {}).get("num_workers", 8)),
         world_size=jax.process_count(),
         rank=jax.process_index(),
     )
 
+    seed = cfg.get("seed", tp.get("seed", 0))
     loader.set_epoch(0)
     first = next(iter(loader))
     batch = loss_batch_from_numpy(first)
     views = views_from_loss_batch(batch, jnp.asarray(first["img"]))
-    params = jax.jit(model.init)(jax.random.PRNGKey(tp["seed"]), views)["params"]
+    params = jax.jit(model.init)(jax.random.PRNGKey(seed), views)["params"]
 
     loop_cfg = TrainLoopConfig(
         output_dir=cfg.get("output_dir", "outputs/train"),
@@ -110,7 +119,8 @@ def main():
         save_freq=tp["save_freq"],
         keep_freq=tp["keep_freq"],
         print_freq=tp["print_freq"],
-        seed=tp["seed"],
+        seed=seed,
+        submodule_configs=tp.get("submodule_configs", {}) or {},
     )
     trainer = Trainer(
         model, loader, loop_cfg, loss_cfg=loss_cfg, geo_cfg=geo_cfg,

@@ -210,7 +210,8 @@ class TestConfigSystem:
         fields = {f.name for f in dataclasses.fields(GeometricInputConfig)}
         task_dir = REPO / "configs" / "model" / "task"
         names = sorted(p.stem for p in task_dir.glob("*.yaml"))
-        assert len(names) == 18, names
+        # 18 presets + the default base (reference task/default.yaml)
+        assert len(names) == 19, names
         for expected in (
             "images_only", "mvs", "calibrated_sfm", "posed_sfm",
             "depth_completion", "registration", "aug_training",

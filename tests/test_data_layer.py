@@ -231,3 +231,52 @@ class TestLoaders:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+class TestColorTransforms:
+    def test_imgnorm_is_identity(self):
+        import numpy as np
+        from mapanything_tpu.data.transforms import apply_color_transform
+
+        rng = np.random.default_rng(0)
+        img = rng.uniform(size=(16, 16, 3)).astype(np.float32)
+        out = apply_color_transform(img, "imgnorm", rng)
+        np.testing.assert_array_equal(out, img)
+
+    def test_colorjitter_bounded_and_deterministic(self):
+        import numpy as np
+        from mapanything_tpu.data.transforms import apply_color_transform
+
+        img = np.random.default_rng(1).uniform(size=(16, 16, 3)).astype(np.float32)
+        a = apply_color_transform(img, "colorjitter", np.random.default_rng(7))
+        b = apply_color_transform(img, "colorjitter", np.random.default_rng(7))
+        np.testing.assert_array_equal(a, b)
+        assert a.min() >= 0.0 and a.max() <= 1.0
+        assert not np.array_equal(a, img)
+
+    def test_full_aug_stack_runs(self):
+        import numpy as np
+        from mapanything_tpu.data.transforms import (
+            apply_color_transform,
+            gaussian_blur,
+            to_grayscale,
+        )
+
+        img = np.random.default_rng(2).uniform(size=(15, 17, 3)).astype(np.float32)
+        for seed in range(8):  # exercises all random branches
+            out = apply_color_transform(
+                img, "colorjitter+grayscale+gaublur", np.random.default_rng(seed)
+            )
+            assert out.shape == img.shape and np.isfinite(out).all()
+        g = to_grayscale(img)
+        assert np.allclose(g[..., 0], g[..., 1])
+        bl = gaussian_blur(img, sigma=0.8)
+        assert bl.var() < img.var()
+
+    def test_hue_shift_full_turn_identity(self):
+        import numpy as np
+        from mapanything_tpu.data.transforms import adjust_hue
+
+        img = np.random.default_rng(3).uniform(size=(8, 8, 3)).astype(np.float32)
+        out = adjust_hue(adjust_hue(img, 0.25), -0.25)
+        np.testing.assert_allclose(out, img, atol=1e-5)

@@ -151,3 +151,82 @@ class TestPhotometricBATracks:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+class TestDescriptorTracks:
+    """The learned-descriptor replacement for the NCC tracker
+    (VERDICT r1 item 7): with discriminative descriptors the matcher must
+    recover known correspondences more accurately than NCC on a shifted
+    scene, and the Tracks assembly must accept its output."""
+
+    @staticmethod
+    def _coord_desc(shift):
+        """A contrived 'oracle' descriptor: position-encoded, so mutual-NN
+        matching recovers the ground-truth integer shift exactly."""
+
+        def fn(img_a, img_b):
+            H, W = img_a.shape[:2]
+            y, x = jnp.meshgrid(
+                jnp.arange(H), jnp.arange(W), indexing="ij"
+            )
+
+            def enc(xx, yy):
+                f = []
+                for s in (0.05, 0.11, 0.23):
+                    f += [jnp.sin(s * xx), jnp.cos(s * xx),
+                          jnp.sin(s * yy), jnp.cos(s * yy)]
+                d = jnp.stack(f, -1)
+                return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+            return enc(x, y), enc(x - shift[0], y - shift[1])
+
+        return fn
+
+    def test_recovers_known_shift(self):
+        from mapanything_tpu.ba.tracker import predict_tracks_descriptors
+
+        rng = np.random.RandomState(0)
+        imgs = rng.rand(3, 48, 64, 3).astype(np.float32)
+        shift = (5, 3)
+        tracks, vis, scores = predict_tracks_descriptors(
+            imgs, self._coord_desc(shift), query_frame_num=1, subsample=8
+        )
+        S, N, _ = tracks.shape
+        assert S == 3 and N >= 20
+        q = int(np.argmax(vis.sum(1)))  # the anchor frame is all-visible
+        for s in range(S):
+            if s == q:
+                continue
+            ok = vis[s]
+            # interior anchors must land exactly shift away
+            err = np.abs(
+                tracks[s][ok] - (tracks[q][ok] + np.asarray(shift))
+            )
+            interior = (
+                (tracks[q][ok] + shift)[:, 0] < 64 - 1
+            ) & ((tracks[q][ok] + shift)[:, 1] < 48 - 1)
+            assert ok.mean() > 0.5
+            assert err[interior].max() <= 1e-3
+
+    def test_assembles_tracks_struct(self):
+        import jax
+
+        from mapanything_tpu.ba.tracks import tracks_from_descriptor_matcher
+
+        rng = np.random.RandomState(1)
+        V, H, W = 3, 48, 64
+        imgs = rng.rand(V, H, W, 3).astype(np.float32)
+        K = np.array([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]])
+        poses = np.tile(np.eye(4, dtype=np.float32), (V, 1, 1))
+        poses[:, 0, 3] = np.arange(V) * 0.1
+        depth = np.full((V, H, W), 2.0, np.float32)
+
+        tr = tracks_from_descriptor_matcher(
+            jnp.asarray(imgs), self._coord_desc((0, 0)),
+            jnp.asarray(np.tile(K[None], (V, 1, 1)).astype(np.float32)),
+            jnp.asarray(poses), jnp.asarray(depth),
+            query_frame_num=1,
+        )
+        assert tr.points3d.shape[-1] == 3
+        assert tr.observations_uv.shape[0] == tr.points3d.shape[0]
+        assert bool(jnp.any(tr.valid))
