@@ -613,3 +613,16 @@ class DiffCrossAttention(nn.Module):
             self.dim, dtype=self.dtype, kernel_init=default_kernel_init, name="proj"
         )(attn)
         return out
+
+
+def resolve_remat_policy(name):
+    """Map a config string to a jax.checkpoint policy (None = full remat)."""
+    if name is None:
+        return None
+    import jax
+
+    return {
+        "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        "dots_saveable": jax.checkpoint_policies.dots_saveable,
+        "nothing": None,
+    }[name]

@@ -110,6 +110,7 @@ class ViTEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     return_layers: Optional[Sequence[int]] = None
     remat: bool = False
+    remat_policy: Optional[str] = None
 
     @property
     def embed_dim(self) -> int:
@@ -169,7 +170,12 @@ class ViTEncoder(nn.Module):
         intermediates = []
         block_cls = SelfAttentionBlock
         if self.remat:
-            block_cls = nn.remat(SelfAttentionBlock, static_argnums=(2,))
+            from mapanything_tpu.models.blocks import resolve_remat_policy
+
+            block_cls = nn.remat(
+                SelfAttentionBlock, static_argnums=(2,),
+                policy=resolve_remat_policy(self.remat_policy),
+            )
         for i in range(depth):
             x = block_cls(
                 dim=embed_dim,

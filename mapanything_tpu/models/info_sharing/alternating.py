@@ -56,6 +56,7 @@ class AlternatingAttentionTransformer(nn.Module):
     # tokens + replicated scale token; see parallel/sharded_attention.py).
     context_parallel: bool = False
     remat: bool = False
+    remat_policy: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -116,7 +117,12 @@ class AlternatingAttentionTransformer(nn.Module):
         intermediates = []
         block_cls = SelfAttentionBlock
         if self.remat:
-            block_cls = nn.remat(SelfAttentionBlock, static_argnums=(2,))
+            from mapanything_tpu.models.blocks import resolve_remat_policy
+
+            block_cls = nn.remat(
+                SelfAttentionBlock, static_argnums=(2,),
+                policy=resolve_remat_policy(self.remat_policy),
+            )
         for depth_idx in range(self.depth):
             block = block_cls(
                 dim=self.dim,

@@ -297,6 +297,11 @@ class MapAnythingConfig:
     # processor, pose/scale heads, and all adaptors stay at head_dtype.
     dpt_fusion_dtype: Optional[str] = None
     remat: bool = False
+    # jax.checkpoint policy for the rematerialized blocks: None = full
+    # recompute; "dots" = save matmul outputs, recompute elementwise
+    # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable) — trades
+    # a little memory for far less recompute in the backward.
+    remat_policy: Optional[str] = None
     head_chunk_size: Optional[int] = None  # chunk B*V for the dense head
 
     def with_updates(self, **kw):
@@ -370,6 +375,7 @@ class MapAnything(nn.Module):
             patch_size=cfg.patch_size,
             dtype=dtype,
             remat=cfg.remat,
+            remat_policy=cfg.remat_policy,
             name="encoder",
         )
         enc_feats = encoder(imgs.reshape(B * V, H, W, 3), deterministic)
@@ -524,6 +530,7 @@ class MapAnything(nn.Module):
             context_parallel=cfg.context_parallel_trunk,
             dtype=dtype,
             remat=cfg.remat,
+            remat_policy=cfg.remat_policy,
             name="info_sharing",
         )
         final_feats, intermediates, token_feats = trunk(

@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Profile the training step phase-by-phase on the real chip.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/profile_train.py
+     [--views 4] [--res 518] [--no-remat] [--save-policy POLICY]
+
+Times (scanned multi-iteration programs with distinct inputs + final
+checksum fetch — see scripts/profile_phases.py for why):
+  - forward-only (loss value)
+  - forward+backward (grads)
+  - full train step (grads + optimizer update)
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--views", type=int, default=4)
+    ap.add_argument("--res", type=int, default=518)
+    ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--remat-policy", default=None,
+                    help="None|dots|dots_saveable")
+    ap.add_argument("--head-dtype", default="float32")
+    ap.add_argument("--reps", type=int, default=4)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from mapanything_tpu.models.mapanything import (
+        MapAnything,
+        MapAnythingConfig,
+    )
+    from mapanything_tpu.train.losses import LossBatch, LossConfig
+    from mapanything_tpu.train.losses import factored_geometry_scale_loss
+    from mapanything_tpu.train.optim import OptimConfig, build_optimizer
+    from mapanything_tpu.train.step import (
+        TrainState,
+        make_train_step,
+        views_from_loss_batch,
+    )
+
+    B, V, H, W = 1, args.views, args.res, args.res
+    cfg = MapAnythingConfig(
+        compute_dtype="bfloat16",
+        head_dtype=args.head_dtype,
+        remat=not args.no_remat,
+        remat_policy=args.remat_policy,
+    )
+    model = MapAnything(cfg)
+    rng = np.random.RandomState(0)
+
+    img = jnp.asarray(rng.rand(B, V, H, W, 3).astype(np.float32))
+    dirs = rng.randn(B, V, H, W, 3).astype(np.float32)
+    dirs[..., 2] = np.abs(dirs[..., 2]) + 0.5
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    quats = rng.randn(B, V, 4).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    batch = LossBatch(
+        pts3d=jnp.asarray(rng.randn(B, V, H, W, 3).astype(np.float32)),
+        pts3d_cam=jnp.asarray(rng.randn(B, V, H, W, 3).astype(np.float32)),
+        depth_along_ray=jnp.asarray(
+            rng.uniform(1, 5, (B, V, H, W, 1)).astype(np.float32)
+        ),
+        ray_directions=jnp.asarray(dirs),
+        camera_pose_quats=jnp.asarray(quats),
+        camera_pose_trans=jnp.asarray(rng.randn(B, V, 3).astype(np.float32)),
+        valid_mask=jnp.ones((B, V, H, W), bool),
+        non_ambiguous_mask=jnp.ones((B, V, H, W), bool),
+        valid_non_ambiguous_mask=jnp.ones((B, V, H, W), bool),
+        is_metric_scale=jnp.ones((B,), bool),
+        is_synthetic=jnp.zeros((B,), bool),
+    )
+    views = views_from_loss_batch(batch, img)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), views)["params"]
+    opt_cfg = OptimConfig(epoch_len=100, total_epochs=1.0)
+    optimizer = build_optimizer(opt_cfg, params)
+    state = TrainState(
+        params=params, opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+    loss_cfg = LossConfig()
+
+    def loss_fn(params, img_in):
+        v = views_from_loss_batch(batch, img_in)
+        preds = model.apply({"params": params}, v)
+        loss, _ = factored_geometry_scale_loss(batch, preds, loss_cfg)
+        return loss * 2.0 / V
+
+    REPS = args.reps
+
+    def scanned(fn):
+        @jax.jit
+        def prog(params, img0):
+            def body(c, i):
+                out = fn(params, img0 + i.astype(jnp.float32) * 1e-4)
+                return c + out, None
+
+            tot, _ = jax.lax.scan(
+                body, jnp.zeros((), jnp.float32), jnp.arange(REPS)
+            )
+            return tot
+
+        return prog
+
+    def timed(label, prog, arg_sets):
+        out = prog(*arg_sets)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        out = prog(*arg_sets)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / REPS
+        print(f"{label:>16}: {dt*1e3:8.1f} ms/iter  ({B*V/dt:.2f} views/s)")
+        return dt
+
+    fwd = scanned(lambda p, im: loss_fn(p, im))
+    timed("forward(loss)", fwd, (params, img))
+
+    def gradsum(p, im):
+        g = jax.grad(loss_fn)(p, im)
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(g))
+
+    bwd = scanned(gradsum)
+    timed("forward+grad", bwd, (params, img))
+
+    train_step = make_train_step(model, optimizer, loss_cfg, donate=False)
+
+    @jax.jit
+    def full(state, img0):
+        def body(c, i):
+            st, r = c
+            st2, metrics = train_step(
+                st, img0 + i.astype(jnp.float32) * 1e-4, batch, r
+            )
+            r2, _ = jax.random.split(r)
+            return (st2, r2), metrics["loss"]
+
+        (st, _), losses = jax.lax.scan(
+            body, (state, jax.random.PRNGKey(0)), jnp.arange(REPS)
+        )
+        return jnp.sum(losses) + jnp.sum(
+            st.params["scale_token"].astype(jnp.float32)
+        )
+
+    out = full(state, img)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = full(state, img)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / REPS
+    print(f"{'full step':>16}: {dt*1e3:8.1f} ms/iter  ({B*V/dt:.2f} views/s)")
+
+
+if __name__ == "__main__":
+    main()

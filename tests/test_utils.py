@@ -246,3 +246,93 @@ class TestViewer:
         out = export_viewer_html(tmp_path / "v.html", pts, max_points=10)
         html = out.read_text()
         assert "10 pts" in html
+
+
+class TestLiveDemoServer:
+    """Upload -> infer -> orbit-viewer flow of the live demo server
+    (VERDICT r1 item 10; reference scripts/gradio_app.py)."""
+
+    def test_upload_infer_view_roundtrip(self):
+        import base64
+        import json
+        import threading
+        import urllib.request
+
+        import cv2
+        import numpy as np
+
+        from mapanything_tpu.utils.live_server import make_server
+
+        def stub_infer(images):
+            V = len(images)
+            pts = np.random.RandomState(0).randn(V, 8, 8, 3).astype(np.float32)
+            cols = np.stack([cv2.resize(im, (8, 8)) for im in images])
+            return {
+                "points": pts, "colors": cols,
+                "mask": np.ones((V, 8, 8), bool),
+                "camera_poses": np.tile(np.eye(4, dtype=np.float32), (V, 1, 1)),
+                "intrinsics": None,
+            }
+
+        srv = make_server(stub_infer, port=0)  # ephemeral port
+        port = srv.server_address[1]
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            page = urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/", timeout=10
+            ).read().decode()
+            assert "Reconstruct" in page and "/infer" in page
+
+            img = np.random.RandomState(1).randint(
+                0, 255, (16, 20, 3), np.uint8
+            )
+            ok, enc = cv2.imencode(".png", img)
+            assert ok
+            payload = json.dumps(
+                {"images": [base64.b64encode(enc.tobytes()).decode()] * 2}
+            ).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/infer", data=payload,
+                headers={"Content-Type": "application/json"},
+            )
+            html = urllib.request.urlopen(req, timeout=30).read().decode()
+            assert "webgl" in html or "getContext" in html
+            assert "live reconstruction (2 views)" in html
+        finally:
+            srv.shutdown()
+
+    def test_model_infer_fn_runs(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from mapanything_tpu.models.mapanything import (
+            MapAnything,
+            MapAnythingConfig,
+            Views,
+        )
+        from mapanything_tpu.utils.live_server import (
+            build_viewer_html,
+            make_model_infer_fn,
+        )
+
+        cfg = MapAnythingConfig.small(
+            encoder_size="test", info_sharing_depth=2, info_sharing_dim=64,
+            info_sharing_num_heads=4, info_sharing_indices=(0, 1),
+            dpt_feature_dim=32, dpt_layer_dims=(16, 24, 32, 48),
+        )
+        model = MapAnything(cfg)
+        views = Views(img=jnp.zeros((1, 2, 126, 126, 3), jnp.float32))
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), views)
+
+        infer_fn = make_model_infer_fn(model, params, resolution=126)
+        imgs = [
+            np.random.RandomState(i).rand(40, 40, 3).astype(np.float32)
+            for i in range(2)
+        ]
+        result = infer_fn(imgs)
+        assert result["points"].shape[0] == 2
+        assert result["camera_poses"].shape == (2, 4, 4)
+        html = build_viewer_html(result)
+        assert "getContext" in html
