@@ -77,8 +77,11 @@ def _build_vggt(size: str = "full", **overrides):
 
 
 @register_model("moge")
+@register_model("moge_1")
 def _build_moge(size: str = "full", **overrides):
-    """Native MoGe v1 baseline (reference external/moge/, arXiv:2410.19115)."""
+    """Native MoGe v1 baseline (reference external/moge/, arXiv:2410.19115;
+    registered as both "moge" and the reference factory's "moge_1",
+    models/__init__.py:62-110)."""
     from mapanything_tpu.models.external.moge import MoGeConfig, MoGeWrapper
 
     cfg = (
@@ -204,3 +207,25 @@ def init_model(model_str: str, **model_config):
             f"unknown model '{model_str}'; available: {sorted(MODEL_REGISTRY)}"
         )
     return MODEL_REGISTRY[model_str](**model_config)
+
+
+@register_model("moge_2")
+def _build_moge2(size: str = "full", **overrides):
+    """Native MoGe-2 baseline (reference external/moge/models/v2.py:28):
+    ConvStack neck/heads + normals + metric scale head."""
+    from mapanything_tpu.models.external.moge import MoGe2Config, MoGe2Wrapper
+
+    cfg = (
+        MoGe2Config.small(**overrides) if size == "small" else MoGe2Config(**overrides)
+    )
+    return MoGe2Wrapper(cfg)
+
+
+@register_model("metric_dust3r")
+def _build_metric_dust3r(size: str = "full", **kwargs):
+    """Metric DUSt3R (reference model zoo "metric_dust3r",
+    models/__init__.py:62-110): the same pairwise DUSt3R trunk + global
+    aligner; the metric variant differs upstream only in checkpoint and
+    the exp (unbounded) depth adaptor, which ModularDUSt3RConfig's default
+    pointmap RangeConfig("exp") already is."""
+    return _build_dust3r_ba(size=size, **kwargs)

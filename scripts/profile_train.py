@@ -26,6 +26,7 @@ def main():
                     help="None|dots|dots_saveable")
     ap.add_argument("--head-dtype", default="float32")
     ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--phases", default="fwd,bwd,full")
     args = ap.parse_args()
 
     import jax
@@ -117,19 +118,27 @@ def main():
         out = prog(*arg_sets)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / REPS
-        print(f"{label:>16}: {dt*1e3:8.1f} ms/iter  ({B*V/dt:.2f} views/s)")
+        print(f"{label:>16}: {dt*1e3:8.1f} ms/iter  ({B*V/dt:.2f} views/s)",
+              flush=True)
         return dt
 
-    fwd = scanned(lambda p, im: loss_fn(p, im))
-    timed("forward(loss)", fwd, (params, img))
+    phases = set(args.phases.split(","))
+    if "fwd" in phases:
+        fwd = scanned(lambda p, im: loss_fn(p, im))
+        timed("forward(loss)", fwd, (params, img))
 
-    def gradsum(p, im):
-        g = jax.grad(loss_fn)(p, im)
-        return sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(g))
+    if "bwd" in phases:
+        def gradsum(p, im):
+            g = jax.grad(loss_fn)(p, im)
+            return sum(
+                jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(g)
+            )
 
-    bwd = scanned(gradsum)
-    timed("forward+grad", bwd, (params, img))
+        bwd = scanned(gradsum)
+        timed("forward+grad", bwd, (params, img))
 
+    if "full" not in phases:
+        return
     train_step = make_train_step(model, optimizer, loss_cfg, donate=False)
 
     @jax.jit

@@ -650,3 +650,44 @@ class TestMASt3RSGA:
         assert all(
             np.isfinite(np.asarray(v)).all() for r in res for v in r.values()
         )
+
+
+class TestMoGe2:
+    def test_forward_shapes(self):
+        import jax
+        import jax.numpy as jnp
+
+        from mapanything_tpu.models.external.moge import (
+            MoGe2Config,
+            MoGe2Model,
+        )
+
+        m = MoGe2Model(MoGe2Config.small())
+        x = jnp.zeros((1, 28, 28, 3))
+        p = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+        out = jax.jit(m.apply)(p, x)
+        assert out["points"].shape == (1, 28, 28, 3)
+        assert out["normal"].shape == (1, 28, 28, 3)
+        assert out["mask"].shape == (1, 28, 28)
+        assert out["metric_scale"].shape == (1,)
+        import numpy as np
+
+        n = np.asarray(out["normal"])
+        np.testing.assert_allclose(
+            np.linalg.norm(n, axis=-1), 1.0, atol=1e-5
+        )
+        assert float(out["points"][..., 2].min()) > 0  # exp remap
+
+    def test_wrapper_and_registry(self):
+        import jax
+        import jax.numpy as jnp
+
+        from mapanything_tpu.models.registry import MODEL_REGISTRY, init_model
+
+        for name in ("moge_1", "moge_2", "metric_dust3r"):
+            assert name in MODEL_REGISTRY, name
+        w = init_model("moge_2", size="small")
+        imgs = jnp.zeros((1, 2, 28, 28, 3))
+        p = jax.jit(w.init)(jax.random.PRNGKey(0), imgs)
+        res = w.apply(p, imgs)
+        assert len(res) == 2 and res[0]["pts3d"].shape == (1, 28, 28, 3)
