@@ -83,6 +83,9 @@ class LossConfig:
     """Production loss hyperparameters (overall_loss.yaml)."""
 
     criterion: str = "robust"  # robust | l1 | l2 (FactoredLLoss parity)
+    # Disentangled ablation (reference losses.py:4521): each factor's loss
+    # is computed in WORLD-POINTMAP space using GT for the other factors.
+    disentangled: bool = False
     robust_alpha: float = 0.5
     robust_scaling_c: float = 0.05
     norm_mode: str = "avg_dis"
@@ -257,6 +260,8 @@ def factored_geometry_scale_loss(
     Follows FactoredGeometryScaleRegr3DPlusNormalGMLoss + Conf/ExcludeTopN
     wrappers + NonAmbiguousMaskLoss, vectorized over the view axis.
     """
+    if cfg.disentangled:
+        return disentangled_factored_geometry_scale_loss(batch, preds, cfg)
     B, V, H, W, _ = batch.pts3d.shape
     P = H * W
     if cfg.criterion == "robust":
@@ -451,6 +456,116 @@ def factored_geometry_scale_loss(
         details["rgb_loss"] = rgb_loss
 
     # Non-ambiguous mask BCE (NonAmbiguousMaskLoss, losses.py:719)
+    if preds.non_ambiguous_mask_logits is not None:
+        bce = bce_with_logits(
+            preds.non_ambiguous_mask_logits,
+            batch.non_ambiguous_mask.astype(jnp.float32),
+        )
+        mask_loss = jnp.sum(
+            masked_mean(bce, batch.valid_non_ambiguous_mask, axis=(0, 2, 3))
+        )
+        total = total + cfg.mask_loss_weight * mask_loss
+        details["mask_loss"] = mask_loss
+
+    details["total_loss"] = total
+    return total, details
+
+
+def disentangled_factored_geometry_scale_loss(
+    batch: LossBatch,
+    preds: Predictions,
+    cfg: LossConfig = LossConfig(),
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """DisentangledFactoredGeometryScaleRegr3D (reference losses.py:4521).
+
+    Each factor's contribution is isolated by reconstructing the
+    view-0-frame WORLD pointmap with that factor PREDICTED and all other
+    factors taken from GT (Simonelli et al., ICCV 2019): depth, ray
+    directions, pose quats, pose trans each get a pointmap-space term;
+    scale is supervised as in the entangled loss. Same criterion /
+    normalization / log-space knobs as the production loss.
+    """
+    from mapanything_tpu.geometry.camera import pointmap_from_rays_depth_pose
+
+    B, V, H, W, _ = batch.pts3d.shape
+    if cfg.criterion == "robust":
+        crit = lambda a, b: robust_regression_distance(
+            a, b, cfg.robust_alpha, cfg.robust_scaling_c
+        )
+    elif cfg.criterion == "l1":
+        crit = lambda a, b: jnp.sum(jnp.abs(a - b), axis=-1)
+    else:
+        crit = lambda a, b: jnp.linalg.norm(a - b, axis=-1)
+    valid = batch.valid_mask
+
+    # GT factors in the view-0 frame.
+    q0 = jnp.broadcast_to(
+        batch.camera_pose_quats[:, :1], batch.camera_pose_quats.shape
+    )
+    t0 = jnp.broadcast_to(
+        batch.camera_pose_trans[:, :1], batch.camera_pose_trans.shape
+    )
+    gt_quats, gt_trans = relative_pose_quats_trans(
+        q0, t0, batch.camera_pose_quats, batch.camera_pose_trans
+    )
+    gt_rays = batch.ray_directions
+    gt_depth = batch.depth_along_ray
+
+    # Predicted factors, un-scaled by the (stop-grad) metric factor.
+    sc = preds.metric_scaling_factor
+    pr_depth = preds.depth_along_ray / sc[:, None, None, None, None]
+    pr_trans = preds.cam_trans / sc[:, None, None]
+    pr_rays = preds.ray_directions
+    pr_quats = preds.cam_quats
+
+    inv_q0 = quat_inverse(batch.camera_pose_quats[:, 0])
+    gt_pts_v0 = quat_rotate(
+        inv_q0[:, None, None, None, :],
+        batch.pts3d - batch.camera_pose_trans[:, 0][:, None, None, None, :],
+    )
+    gt_pts_n, gt_nf = normalize_pointcloud(gt_pts_v0, valid, cfg.norm_mode, True)
+    gt_nf_s = gt_nf.reshape(B)
+    gt_trans_n = gt_trans / gt_nf_s[:, None, None]
+    gt_depth_n = gt_depth / gt_nf
+
+    def pointmap_term(rays, depth_n, trans_n, quats):
+        pts = pointmap_from_rays_depth_pose(rays, depth_n, trans_n, quats)
+        a, b = (
+            (apply_log_to_norm(pts), apply_log_to_norm(gt_pts_n))
+            if cfg.loss_in_log
+            else (pts, gt_pts_n)
+        )
+        pix = crit(a, b)  # (B, V, H, W)
+        return jnp.sum(masked_mean(pix, valid, axis=(0, 2, 3)))
+
+    details: Dict[str, jnp.ndarray] = {}
+    depth_term = pointmap_term(gt_rays, pr_depth / gt_nf, gt_trans_n, gt_quats)
+    rays_term = pointmap_term(pr_rays, gt_depth_n, gt_trans_n, gt_quats)
+    quats_term = pointmap_term(gt_rays, gt_depth_n, gt_trans_n, pr_quats)
+    trans_term = pointmap_term(gt_rays, gt_depth_n, pr_trans / gt_nf_s[:, None, None], gt_quats)
+    details["depth_loss"] = depth_term * cfg.depth_weight
+    details["ray_dirs_loss"] = rays_term * cfg.ray_directions_weight
+    details["pose_quats_loss"] = quats_term * cfg.pose_quats_weight
+    details["pose_trans_loss"] = trans_term * cfg.pose_trans_weight
+    total = (
+        details["depth_loss"] + details["ray_dirs_loss"]
+        + details["pose_quats_loss"] + details["pose_trans_loss"]
+    )
+
+    # Scale term (identical to the entangled loss's set 6).
+    pr_pts = preds.pts3d / sc[:, None, None, None, None]
+    metric_pr_pts = jax.lax.stop_gradient(pr_pts) * sc[:, None, None, None, None]
+    _, pr_metric_nf = normalize_pointcloud(metric_pr_pts, valid, cfg.norm_mode, True)
+    pr_metric_nf_s = pr_metric_nf.reshape(B)
+    metric_sample = batch.is_metric_scale & (gt_nf_s > 1e-8)
+    if cfg.loss_in_log:
+        gt_sc, pr_sc = jnp.log1p(gt_nf_s)[:, None], jnp.log1p(pr_metric_nf_s)[:, None]
+    else:
+        gt_sc, pr_sc = gt_nf_s[:, None], pr_metric_nf_s[:, None]
+    scale_loss = masked_mean(crit(pr_sc, gt_sc) * cfg.scale_weight, metric_sample)
+    total = total + scale_loss
+    details["scale_loss"] = scale_loss
+
     if preds.non_ambiguous_mask_logits is not None:
         bce = bce_with_logits(
             preds.non_ambiguous_mask_logits,

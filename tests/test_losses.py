@@ -179,3 +179,112 @@ class TestDust3rLoss:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+class TestDisentangledLoss:
+    """DisentangledFactoredGeometryScaleRegr3D parity properties
+    (reference losses.py:4521): zero at GT, and each term responds ONLY
+    to its own factor's perturbation."""
+
+    def _setup(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from mapanything_tpu.models.mapanything import Predictions
+        from mapanything_tpu.train.losses import LossBatch
+
+        rng = np.random.RandomState(0)
+        B, V, H, W = 1, 2, 8, 8
+        K = np.array([[8.0, 0, 3.5], [0, 8.0, 3.5], [0, 0, 1]])
+        depth = rng.uniform(2, 4, (B, V, H, W, 1)).astype(np.float32)
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        pts_cam = np.stack(
+            [(xx - 3.5) / 8.0, (yy - 3.5) / 8.0, np.ones_like(xx)], -1
+        )
+        rays = pts_cam / np.linalg.norm(pts_cam, axis=-1, keepdims=True)
+        rays = np.broadcast_to(rays, (B, V, H, W, 3)).astype(np.float32)
+        pts3d_cam = rays * depth
+        quats = np.zeros((B, V, 4), np.float32); quats[..., 3] = 1
+        trans = np.zeros((B, V, 3), np.float32); trans[:, 1, 0] = 0.5
+        from mapanything_tpu.geometry.camera import (
+            pointmap_from_rays_depth_pose,
+        )
+
+        pts3d = np.asarray(pointmap_from_rays_depth_pose(
+            jnp.asarray(rays), jnp.asarray(depth), jnp.asarray(trans),
+            jnp.asarray(quats),
+        ))
+        batch = LossBatch(
+            pts3d=jnp.asarray(pts3d), pts3d_cam=jnp.asarray(pts3d_cam),
+            depth_along_ray=jnp.asarray(depth),
+            ray_directions=jnp.asarray(rays),
+            camera_pose_quats=jnp.asarray(quats),
+            camera_pose_trans=jnp.asarray(trans),
+            valid_mask=jnp.ones((B, V, H, W), bool),
+            non_ambiguous_mask=jnp.ones((B, V, H, W), bool),
+            valid_non_ambiguous_mask=jnp.ones((B, V, H, W), bool),
+            is_metric_scale=jnp.ones((B,), bool),
+            is_synthetic=jnp.zeros((B,), bool),
+        )
+        from mapanything_tpu.geometry.normalization import (
+            normalize_pointcloud,
+        )
+
+        _, nf = normalize_pointcloud(
+            jnp.asarray(pts3d), batch.valid_mask, "avg_dis", True
+        )
+        preds = Predictions(
+            pts3d=jnp.asarray(pts3d), pts3d_cam=jnp.asarray(pts3d_cam),
+            ray_directions=jnp.asarray(rays),
+            depth_along_ray=jnp.asarray(depth),
+            cam_trans=jnp.asarray(trans), cam_quats=jnp.asarray(quats),
+            metric_scaling_factor=jnp.ones((1,)),
+        )
+        return batch, preds
+
+    def test_zero_at_gt_and_factor_isolation(self):
+        import dataclasses
+
+        from mapanything_tpu.train.losses import (
+            LossConfig,
+            disentangled_factored_geometry_scale_loss,
+        )
+
+        batch, preds = self._setup()
+        cfg = LossConfig(criterion="l1", disentangled=True)
+        total, details = disentangled_factored_geometry_scale_loss(
+            batch, preds, cfg
+        )
+        # scale term is nonzero only through norm-factor mismatch; the
+        # factor terms must vanish exactly at GT
+        for k in ("depth_loss", "ray_dirs_loss", "pose_quats_loss",
+                  "pose_trans_loss"):
+            assert float(details[k]) < 1e-5, (k, float(details[k]))
+
+        # Perturb ONLY the depth; only the depth term moves.
+        preds_d = preds.replace(
+            depth_along_ray=preds.depth_along_ray * 1.2
+        )
+        _, dd = disentangled_factored_geometry_scale_loss(batch, preds_d, cfg)
+        assert float(dd["depth_loss"]) > 1e-3
+        for k in ("ray_dirs_loss", "pose_quats_loss", "pose_trans_loss"):
+            assert float(dd[k]) < 1e-5, k
+
+        # Perturb ONLY the translation; only the trans term moves.
+        preds_t = preds.replace(cam_trans=preds.cam_trans + 0.3)
+        _, dt = disentangled_factored_geometry_scale_loss(batch, preds_t, cfg)
+        assert float(dt["pose_trans_loss"]) > 1e-3
+        for k in ("depth_loss", "ray_dirs_loss", "pose_quats_loss"):
+            assert float(dt[k]) < 1e-5, k
+
+    def test_dispatch_via_config(self):
+        from mapanything_tpu.train.losses import (
+            LossConfig,
+            factored_geometry_scale_loss,
+        )
+
+        batch, preds = self._setup()
+        total, details = factored_geometry_scale_loss(
+            batch, preds, LossConfig(criterion="l1", disentangled=True)
+        )
+        assert "pose_trans_loss" in details and float(total) >= 0

@@ -66,3 +66,26 @@ def test_loss_decreases_with_training(tiny_setup):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+def test_one_sample_finetune_converges(capsys):
+    """scripts/one_sample_finetune.py overfits one synthetic sample
+    (reference train/one_sample_finetune.py:44) — loss must drop."""
+    import re
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import one_sample_finetune
+
+    argv = sys.argv
+    sys.argv = ["one_sample_finetune.py", "--small", "--steps", "30",
+                "--resolution", "28", "--lr", "1e-3"]
+    try:
+        one_sample_finetune.main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    losses = [float(m) for m in re.findall(r"loss ([0-9.]+)", out)]
+    assert len(losses) >= 3
+    assert losses[-1] < losses[0] * 0.9, losses
