@@ -72,6 +72,9 @@ class Mlp(nn.Module):
             name="fc1",
         )(x)
         x = self.act(x)
+        from jax.ad_checkpoint import checkpoint_name
+
+        x = checkpoint_name(x, "mlp_hidden")
         if self.drop > 0.0:
             x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         x = nn.Dense(
@@ -178,6 +181,12 @@ class Attention(nn.Module):
                 self.entropy_scaling_growth_factor,
             )
 
+        # Named checkpoint tag: under remat_policy="save_attn[_mlp]" the
+        # attention output is SAVED and everything else recomputed in the
+        # backward replay (VERDICT r1 item 3: save attention outputs,
+        # recompute MLPs).
+        from jax.ad_checkpoint import checkpoint_name
+
         cp = None
         if self.cp_global:
             from mapanything_tpu.parallel.cp import current_cp
@@ -201,6 +210,7 @@ class Attention(nn.Module):
             out = jnp.concatenate([og, oe.astype(og.dtype)], 1) if E else og
         else:
             out = sdpa(q, k, v, scale=head_dim**-0.5)
+        out = checkpoint_name(out, "attn_out")
         out = out.reshape(B, N, self.dim)
         out = nn.Dense(
             self.dim, dtype=self.dtype, kernel_init=default_kernel_init, name="proj"
@@ -624,5 +634,13 @@ def resolve_remat_policy(name):
     return {
         "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
         "dots_saveable": jax.checkpoint_policies.dots_saveable,
+        # selective: keep the attention outputs (and optionally the MLP
+        # hidden activations) across the backward, recompute the rest
+        "save_attn": jax.checkpoint_policies.save_only_these_names(
+            "attn_out"
+        ),
+        "save_attn_mlp": jax.checkpoint_policies.save_only_these_names(
+            "attn_out", "mlp_hidden"
+        ),
         "nothing": None,
     }[name]

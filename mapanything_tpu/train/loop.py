@@ -60,6 +60,12 @@ class TrainLoopConfig:
     # "weight_decay": f, "frozen": bool}} (configs/train_params/*.yaml,
     # reference train_tools.py:760 parameter groups).
     submodule_configs: dict = dataclasses.field(default_factory=dict)
+    # Gradient accumulation: one optimizer step per accum_iter loader
+    # batches (reference training.py:433,512-526). Consecutive batches
+    # with matching shapes are stacked into one lax.scan accumulation
+    # step; a shape change (different AR / num-views bucket) flushes the
+    # partial group through a same-maker shorter-scan step.
+    accum_iter: int = 1
 
 
 def loss_batch_from_numpy(batch_np: Dict[str, np.ndarray]) -> LossBatch:
@@ -131,6 +137,7 @@ class Trainer:
         self.train_step = make_train_step(
             self.model, self.optimizer, loss_cfg, geo_cfg, donate=False
         )
+        self._accum_steps: Dict[int, object] = {}
         self.eval_step = make_eval_step(self.model, loss_cfg)
 
         self.ckpt = CheckpointManager(
@@ -162,10 +169,29 @@ class Trainer:
             f"batch + checkpoint dumped to {out}"
         )
 
+    def _accum_step_for(self, n: int):
+        from mapanything_tpu.train.step import make_accum_train_step
+
+        if n not in self._accum_steps:
+            self._accum_steps[n] = make_accum_train_step(
+                self.model, self.optimizer, n, self.loss_cfg, self.geo_cfg
+            )
+        return self._accum_steps[n]
+
+    def _run_accum_group(self, group, step_rng):
+        imgs = jnp.stack([jnp.asarray(b["img"]) for b in group])
+        batches = [loss_batch_from_numpy(b) for b in group]
+        batch_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+        return self._accum_step_for(len(group))(
+            self.state, imgs, batch_stack, step_rng
+        )
+
     def train_one_epoch(self, epoch: int) -> Dict[str, float]:
         logger = MetricLogger(print_fn=print_main)
         self.train_loader.set_epoch(epoch)
         header = f"Epoch [{epoch}]"
+        if self.cfg.accum_iter > 1:
+            return self._train_one_epoch_accum(epoch, logger, header)
         for it, batch_np in enumerate(
             logger.log_every(self.train_loader, self.cfg.print_freq, header)
         ):
@@ -179,6 +205,44 @@ class Trainer:
             logger.update(
                 loss=loss, grad_norm=float(metrics["grad_norm"])
             )
+        stats = logger.global_avg_dict("train_")
+        stats["train_loss_synced"] = all_reduce_mean(stats.get("train_loss", 0.0))
+        return stats
+
+    def _train_one_epoch_accum(self, epoch, logger, header):
+        group = []
+        shape = None
+
+        def flush():
+            nonlocal group, shape
+            if not group:
+                return None
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.state, metrics = self._run_accum_group(group, step_rng)
+            group, shape = [], None
+            return metrics
+
+        for it, batch_np in enumerate(
+            logger.log_every(self.train_loader, self.cfg.print_freq, header)
+        ):
+            b_shape = batch_np["img"].shape
+            if shape is not None and b_shape != shape:
+                metrics = flush()
+                if metrics is not None:
+                    logger.update(loss=float(metrics["loss"]),
+                                  grad_norm=float(metrics["grad_norm"]))
+            group.append(batch_np)
+            shape = b_shape
+            if len(group) == self.cfg.accum_iter:
+                metrics = flush()
+                loss = float(metrics["loss"])
+                if not np.isfinite(loss) or loss > self.cfg.max_loss_explosion:
+                    self._dump_forensics(batch_np, loss, epoch, it)
+                logger.update(loss=loss, grad_norm=float(metrics["grad_norm"]))
+        metrics = flush()
+        if metrics is not None:
+            logger.update(loss=float(metrics["loss"]),
+                          grad_norm=float(metrics["grad_norm"]))
         stats = logger.global_avg_dict("train_")
         stats["train_loss_synced"] = all_reduce_mean(stats.get("train_loss", 0.0))
         return stats

@@ -121,6 +121,7 @@ def main():
         print_freq=tp["print_freq"],
         seed=seed,
         submodule_configs=tp.get("submodule_configs", {}) or {},
+        accum_iter=int(dist.get("accum_iter", 1)),
     )
     trainer = Trainer(
         model, loader, loop_cfg, loss_cfg=loss_cfg, geo_cfg=geo_cfg,

@@ -89,3 +89,21 @@ def test_one_sample_finetune_converges(capsys):
     losses = [float(m) for m in re.findall(r"loss ([0-9.]+)", out)]
     assert len(losses) >= 3
     assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_trainer_gradient_accumulation(tiny_setup, tmp_path):
+    """accum_iter > 1: one optimizer step per group, shape-change flushes,
+    loss stays finite (reference training.py:433,512-526)."""
+    from mapanything_tpu.train.loop import Trainer, TrainLoopConfig
+
+    ds, loader, model, params, _ = tiny_setup
+    cfg = TrainLoopConfig(
+        output_dir=str(tmp_path), epochs=1, warmup_epochs=0.1,
+        print_freq=100, accum_iter=2, resume=False,
+    )
+    trainer = Trainer(model, loader, cfg, init_params=params)
+    n_batches = len(loader)
+    stats = trainer.train_one_epoch(0)
+    assert np.isfinite(stats["train_loss"])
+    # one optimizer step per accum group (same-shape tiny loader)
+    assert int(trainer.state.step) == (n_batches + 1) // 2
