@@ -22,13 +22,18 @@ import jax.numpy as jnp
 
 
 def haar_downsample(x: jnp.ndarray) -> jnp.ndarray:
-    """One 2D haar wavelet level: (B, H, W, C) -> (B, H/2, W/2, 4C)."""
-    g = 0.7071067811865476
-    ll = x[:, 0::2, 0::2] + x[:, 0::2, 1::2] + x[:, 1::2, 0::2] + x[:, 1::2, 1::2]
-    lh = x[:, 0::2, 0::2] - x[:, 0::2, 1::2] + x[:, 1::2, 0::2] - x[:, 1::2, 1::2]
-    hl = x[:, 0::2, 0::2] + x[:, 0::2, 1::2] - x[:, 1::2, 0::2] - x[:, 1::2, 1::2]
-    hh = x[:, 0::2, 0::2] - x[:, 0::2, 1::2] - x[:, 1::2, 0::2] + x[:, 1::2, 1::2]
-    return jnp.concatenate([ll, lh, hl, hh], axis=-1) * (g * g)
+    """One 2D haar level, BIT-matching the reference Patcher._dwt
+    (cosmos_tokenizer/modules/patching.py:71-94, rescale=True):
+    channel order [LL, LH(vertical-high), HL(horizontal-high), HH],
+    each scaled by g^2/2 (so LL is the 2x2 average)."""
+    g2 = 0.7071067811865476 ** 2 / 2.0
+    a, b = x[:, 0::2, 0::2], x[:, 0::2, 1::2]
+    c, d = x[:, 1::2, 0::2], x[:, 1::2, 1::2]
+    ll = a + b + c + d
+    lh = a + b - c - d  # vertical high of horizontal low
+    hl = a - b + c - d  # horizontal high of vertical low
+    hh = a - b - c + d
+    return jnp.concatenate([ll, lh, hl, hh], axis=-1) * g2
 
 
 class Patcher2D(nn.Module):
@@ -125,8 +130,11 @@ class CosmosEncoder(nn.Module):
                     out_ch, dtype=self.dtype, name=f"res_{level}_{i}"
                 )(x)
             if level < num_downsamples:
+                # reference Downsample (layers2d.py:48): asymmetric
+                # right/bottom zero pad + stride-2 VALID conv
                 x = nn.Conv(
-                    x.shape[-1], (3, 3), strides=(2, 2), padding=1,
+                    x.shape[-1], (3, 3), strides=(2, 2),
+                    padding=((0, 1), (0, 1)),
                     dtype=self.dtype, name=f"down_{level}",
                 )(x)
 

@@ -831,3 +831,77 @@ def convert_radio_encoder(state: Mapping[str, np.ndarray]) -> Dict:
     prefix = "model." if any(k.startswith("model.") for k in sd) else ""
     vit = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
     return {"backbone": convert_dinov2_vit(vit)}
+
+
+def convert_cosmos_encoder(state: Mapping[str, np.ndarray]) -> Dict:
+    """Cosmos continuous-image tokenizer encoder checkpoint -> our
+    ``CosmosEncoder`` tree.
+
+    Upstream naming (the reference's vendored
+    uniception/models/libs/cosmos_tokenizer/modules/layers2d.py:139 +
+    networks/continuous_image.py:39): encoder.conv_in,
+    encoder.down.{L}.block.{j}.{norm1,conv1,norm2,conv2,nin_shortcut},
+    encoder.down.{L}.downsample.conv, encoder.mid.{block_1,attn_1,block_2},
+    encoder.norm_out, encoder.conv_out, quant_conv. Accepts dicts with or
+    without the "encoder." prefix.
+    """
+    sd = {k: _t(v) for k, v in state.items()}
+    if any(k.startswith("encoder.") for k in sd):
+        enc = {k[len("encoder."):]: v for k, v in sd.items()
+               if k.startswith("encoder.")}
+    else:
+        enc = dict(sd)
+
+    def group_norm(p):
+        return {"scale": _t(enc[p + ".weight"]), "bias": _t(enc[p + ".bias"])}
+
+    def resblock(p):
+        out = {
+            "GroupNorm_0": group_norm(p + ".norm1"),
+            "Conv_0": conv2d(enc[p + ".conv1.weight"], enc[p + ".conv1.bias"]),
+            "GroupNorm_1": group_norm(p + ".norm2"),
+            "Conv_1": conv2d(enc[p + ".conv2.weight"], enc[p + ".conv2.bias"]),
+        }
+        if p + ".nin_shortcut.weight" in enc:
+            out["Conv_2"] = conv2d(
+                enc[p + ".nin_shortcut.weight"], enc[p + ".nin_shortcut.bias"]
+            )
+        return out
+
+    params: Dict = {
+        "conv_in": conv2d(enc["conv_in.weight"], enc["conv_in.bias"]),
+    }
+    n_levels = 1 + max(
+        int(m.group(1)) for k in enc
+        if (m := re.match(r"down\.(\d+)\.", k))
+    )
+    for lv in range(n_levels):
+        n_blocks = 1 + max(
+            int(m.group(1)) for k in enc
+            if (m := re.match(rf"down\.{lv}\.block\.(\d+)\.", k))
+        )
+        for j in range(n_blocks):
+            params[f"res_{lv}_{j}"] = resblock(f"down.{lv}.block.{j}")
+        if f"down.{lv}.downsample.conv.weight" in enc:
+            params[f"down_{lv}"] = conv2d(
+                enc[f"down.{lv}.downsample.conv.weight"],
+                enc[f"down.{lv}.downsample.conv.bias"],
+            )
+    params["mid_res1"] = resblock("mid.block_1")
+    params["mid_res2"] = resblock("mid.block_2")
+    params["mid_attn"] = {
+        "GroupNorm_0": group_norm("mid.attn_1.norm"),
+        "q": conv2d(enc["mid.attn_1.q.weight"], enc["mid.attn_1.q.bias"]),
+        "k": conv2d(enc["mid.attn_1.k.weight"], enc["mid.attn_1.k.bias"]),
+        "v": conv2d(enc["mid.attn_1.v.weight"], enc["mid.attn_1.v.bias"]),
+        "proj_out": conv2d(
+            enc["mid.attn_1.proj_out.weight"], enc["mid.attn_1.proj_out.bias"]
+        ),
+    }
+    params["GroupNorm_0"] = group_norm("norm_out")
+    params["conv_out"] = conv2d(enc["conv_out.weight"], enc["conv_out.bias"])
+    qk = "quant_conv.weight" if "quant_conv.weight" in sd else None
+    if qk:
+        params["quant_conv"] = conv2d(sd["quant_conv.weight"],
+                                      sd["quant_conv.bias"])
+    return params

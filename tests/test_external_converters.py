@@ -261,3 +261,51 @@ class TestCrocoEncoderConverter:
         got = ours.apply({"params": tree}, jnp.asarray(x))
         assert np.isfinite(np.asarray(got)).all()
         assert np.asarray(got).shape == (1, 2, 2, dim)
+
+
+class TestCosmosConverterVsReference:
+    """Numeric parity against the reference's ACTUAL vendored Cosmos
+    tokenizer encoder (uniception/models/libs/cosmos_tokenizer)."""
+
+    def test_encoder_numeric_parity(self):
+        import sys
+
+        sys.path.insert(0, "/root/reference")
+        import pytest as _pytest
+
+        try:
+            from uniception.models.libs.cosmos_tokenizer.modules.layers2d import (
+                Encoder as RefEncoder,
+            )
+        except Exception as e:  # pragma: no cover
+            _pytest.skip(f"vendored cosmos tokenizer unavailable: {e}")
+
+        from mapanything_tpu.models.encoders.cosmos import CosmosEncoder
+        from mapanything_tpu.utils.torch_convert import convert_cosmos_encoder
+
+        torch.manual_seed(0)
+        # Normalize() is GroupNorm(32): channels must be multiples of 32
+        ref = RefEncoder(
+            in_channels=3, channels=32, channels_mult=[1, 2, 2],
+            num_res_blocks=2, attn_resolutions=[], dropout=0.0,
+            resolution=64, z_channels=8, spatial_compression=8,
+            patch_size=4, patch_method="haar",
+        ).eval()
+        quant = tnn.Conv2d(8, 8, 1).eval()
+
+        sd = {"encoder." + k: v for k, v in sd_np(ref).items()}
+        sd.update({"quant_conv." + k: v.detach().numpy()
+                   for k, v in quant.state_dict().items()})
+        params = convert_cosmos_encoder(sd)
+
+        ours = CosmosEncoder(
+            patch_size=8, patcher_size=4, patch_method="haar",
+            channels=32, channels_mult=(1, 2, 2), num_res_blocks=2,
+            z_channels=8, latent_channels=8,
+        )
+        x = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
+        with torch.no_grad():
+            want = quant(ref(torch.from_numpy(x).permute(0, 3, 1, 2)))
+        want = want.permute(0, 2, 3, 1).numpy()
+        got = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-4)

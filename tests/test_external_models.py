@@ -290,15 +290,24 @@ class TestRadioCosmosEncoders:
         assert out.shape == (1, 4, 4, 16)  # spatial compression 8, latent 16
         assert np.isfinite(np.asarray(out)).all()
 
-    def test_haar_energy_preserving(self):
+    def test_haar_matches_reference_scaling(self):
         from mapanything_tpu.models.encoders.cosmos import haar_downsample
 
         x = jnp.asarray(np.random.RandomState(0).randn(1, 8, 8, 2), jnp.float32)
         y = haar_downsample(x)
         assert y.shape == (1, 4, 4, 8)
-        # orthonormal haar transform preserves total energy
+        # The reference Patcher._dwt uses rescale=True: the LL band is the
+        # 2x2 AVERAGE (g^2/2 scaling; bit-matched in
+        # test_external_converters.py against the vendored Patcher), so the
+        # transform scales energy by 1/4 rather than preserving it.
+        ll = y[..., :2]
+        want_avg = 0.25 * (
+            x[:, 0::2, 0::2] + x[:, 0::2, 1::2]
+            + x[:, 1::2, 0::2] + x[:, 1::2, 1::2]
+        )
+        np.testing.assert_allclose(np.asarray(ll), np.asarray(want_avg), atol=1e-6)
         np.testing.assert_allclose(
-            float(jnp.sum(x**2)), float(jnp.sum(y**2)), rtol=1e-5
+            float(jnp.sum(y**2)), float(jnp.sum(x**2)) / 4.0, rtol=1e-5
         )
 
 
