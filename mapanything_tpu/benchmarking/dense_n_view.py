@@ -144,13 +144,17 @@ def compute_set_metrics(batch: LossBatch, preds: Predictions) -> List[Dict[str, 
     return results
 
 
-def run_benchmark(model, params, data_loader, loss_batch_fn, max_batches=None):
+def run_benchmark(model, params, data_loader, loss_batch_fn, max_batches=None,
+                  keep_rays=False, keep_depth=False, keep_cam=False):
     """Loop a test loader, aggregate per-scene metrics (reference :307).
 
     Args:
         model/params: the flagship model.
         data_loader: yields collated numpy batches with a "label" list.
         loss_batch_fn: numpy batch -> LossBatch (train.loop.loss_batch_from_numpy).
+        keep_rays/keep_depth/keep_cam: which GT modalities feed the model
+            (the reference's model/task presets: images_only=none,
+            calibrated_sfm=rays, mvs=rays+depth, posed_sfm=rays+cam, ...).
 
     Returns:
         {scene: {metric: mean}} plus "overall" means.
@@ -168,10 +172,11 @@ def run_benchmark(model, params, data_loader, loss_batch_fn, max_batches=None):
             break
         batch = loss_batch_fn(batch_np)
         views = views_from_loss_batch(batch, jnp.asarray(batch_np["img"]))
-        # Benchmark default: images-only inference (masks off geometry).
         preds = fwd(params, views.replace(
-            ray_directions=None, depth_along_ray=None,
-            camera_pose_quats=None, camera_pose_trans=None,
+            ray_directions=views.ray_directions if keep_rays else None,
+            depth_along_ray=views.depth_along_ray if keep_depth else None,
+            camera_pose_quats=views.camera_pose_quats if keep_cam else None,
+            camera_pose_trans=views.camera_pose_trans if keep_cam else None,
         ))
         set_metrics = compute_set_metrics(batch, preds)
         labels = batch_np.get("label", [f"scene_{i}"] * len(set_metrics))

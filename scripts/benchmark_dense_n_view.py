@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--batch-size", type=int, default=2)
     ap.add_argument("--max-batches", type=int, default=None)
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--model", default="mapanything",
+                    help="registry name (mapanything / mapanything_ablations)")
+    ap.add_argument("--task", default="images_only",
+                    help="configs/model/task preset deciding which GT "
+                         "modalities feed the model")
     ap.add_argument("--out", default="outputs/dense_n_view_results.json")
     args = ap.parse_args()
 
@@ -43,12 +48,26 @@ def main():
     loader = get_test_data_loader(dataset, args.batch_size)
     loader.set_epoch(0)
 
-    cfg = (
-        MapAnythingConfig.small(compute_dtype="bfloat16")
-        if args.small
-        else MapAnythingConfig(compute_dtype="bfloat16")
-    )
-    model = MapAnything(cfg)
+    from mapanything_tpu.utils.config import load_config
+
+    task = load_config(f"configs/model/task/{args.task}.yaml")
+    keep_rays = float(task.get("ray_dirs_prob", 0)) > 0
+    keep_depth = float(task.get("depth_prob", 0)) > 0
+    keep_cam = float(task.get("cam_prob", 0)) > 0
+
+    if args.model == "mapanything":
+        cfg = (
+            MapAnythingConfig.small(compute_dtype="bfloat16")
+            if args.small
+            else MapAnythingConfig(compute_dtype="bfloat16")
+        )
+        model = MapAnything(cfg)
+    else:
+        from mapanything_tpu.models.registry import init_model
+
+        model = init_model(
+            args.model, **({"size": "small"} if args.small else {})
+        )
 
     first = next(iter(loader))
     import jax.numpy as jnp
@@ -66,7 +85,9 @@ def main():
         )
 
     results = run_benchmark(
-        model, params, loader, loss_batch_from_numpy, max_batches=args.max_batches
+        model, params, loader, loss_batch_from_numpy,
+        max_batches=args.max_batches,
+        keep_rays=keep_rays, keep_depth=keep_depth, keep_cam=keep_cam,
     )
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
