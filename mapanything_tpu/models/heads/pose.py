@@ -97,3 +97,33 @@ class LinearFeature(nn.Module):
         x = x.reshape(b, h, w, self.output_dim, p, p)
         x = x.transpose(0, 1, 4, 2, 5, 3)  # (b, h, p, w, p, out)
         return x.reshape(b, h * p, w * p, self.output_dim)
+
+
+class MLPFeature(nn.Module):
+    """Linear unpatchify head with an MLP residual stage before the
+    pixel-shuffle projection (reference
+    uniception/models/prediction_heads/mlp_feature.py:16): tokens ->
+    Mlp(4x) -> 1x1 conv to output_dim * P^2 -> pixel shuffle.
+
+    (B, h, w, C) -> (B, h*P, w*P, output_dim).
+    """
+
+    output_dim: int
+    patch_size: int
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray) -> jnp.ndarray:
+        from mapanything_tpu.models.blocks import Mlp
+
+        b, h, w, c = feat.shape
+        x = Mlp(
+            hidden_features=int(self.mlp_ratio * c),
+            out_features=c,
+            dtype=self.dtype,
+            name="mlp",
+        )(feat.astype(self.dtype))
+        return LinearFeature(
+            self.output_dim, self.patch_size, dtype=self.dtype, name="out"
+        )(x)

@@ -293,3 +293,20 @@ class TestAlignCornersResize:
         got = np.asarray(_resize_bilinear_align_corners(jnp.asarray(x), out_hw))
         want = self._reference(x, out_hw)
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_mlp_feature_head():
+    """MLPFeature (reference prediction_heads/mlp_feature.py:16): Mlp
+    residual stage + pixel-shuffle linear unpatchify."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mapanything_tpu.models.heads.pose import MLPFeature
+
+    m = MLPFeature(output_dim=3, patch_size=4)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 3, 5, 16), jnp.float32)
+    p = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(p, x)
+    assert y.shape == (2, 12, 20, 3)
+    assert np.isfinite(np.asarray(y)).all()
