@@ -297,6 +297,11 @@ class MapAnythingConfig:
     # processor, pose/scale heads, and all adaptors stay at head_dtype.
     dpt_fusion_dtype: Optional[str] = None
     remat: bool = False
+    # Per-part override: None follows ``remat``. The trunk's activations
+    # are small (V*P x 768) next to the encoder's (V*P x 1024 x 24 layers),
+    # so trunk_remat=False + encoder remat is the memory/speed sweet spot.
+    encoder_remat: Optional[bool] = None
+    trunk_remat: Optional[bool] = None
     # jax.checkpoint policy for the rematerialized blocks: None = full
     # recompute; "dots" = save matmul outputs, recompute elementwise
     # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable) — trades
@@ -374,7 +379,7 @@ class MapAnything(nn.Module):
             size=cfg.encoder_size,
             patch_size=cfg.patch_size,
             dtype=dtype,
-            remat=cfg.remat,
+            remat=cfg.remat if cfg.encoder_remat is None else cfg.encoder_remat,
             remat_policy=cfg.remat_policy,
             name="encoder",
         )
@@ -529,7 +534,7 @@ class MapAnything(nn.Module):
             use_entropy_scaling=cfg.use_entropy_scaling,
             context_parallel=cfg.context_parallel_trunk,
             dtype=dtype,
-            remat=cfg.remat,
+            remat=cfg.remat if cfg.trunk_remat is None else cfg.trunk_remat,
             remat_policy=cfg.remat_policy,
             name="info_sharing",
         )

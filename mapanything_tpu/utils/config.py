@@ -124,6 +124,13 @@ def load_config(
 
     for ov in overrides or []:
         key, _, val = ov.partition("=")
+        # Hydra-style GROUP override: "dataset=megatrain_..." swaps the
+        # whole group when <config_dir>/<key>/<val>.yaml exists.
+        group_file = config_dir / key / f"{val}.yaml"
+        if "." not in key and group_file.exists():
+            sub = load_config(group_file, config_dir=config_dir / key)
+            cfg[key] = sub
+            continue
         parsed = yaml.safe_load(val)
         if isinstance(parsed, str):
             # YAML 1.1 misses bare scientific notation like "5e-5".

@@ -23,7 +23,8 @@ def main():
     ap.add_argument("--res", type=int, default=518)
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--remat-policy", default=None,
-                    help="None|dots|dots_saveable")
+                    help="None|dots|dots_saveable|save_attn|save_attn_mlp")
+    ap.add_argument("--no-trunk-remat", action="store_true")
     ap.add_argument("--head-dtype", default="float32")
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--phases", default="fwd,bwd,full")
@@ -53,6 +54,7 @@ def main():
         compute_dtype="bfloat16",
         head_dtype=args.head_dtype,
         remat=not args.no_remat,
+        trunk_remat=False if args.no_trunk_remat else None,
         remat_policy=args.remat_policy,
     )
     model = MapAnything(cfg)

@@ -310,3 +310,47 @@ def test_mlp_feature_head():
     y = m.apply(p, x)
     assert y.shape == (2, 12, 20, 3)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_every_config_yaml_parses_and_apps_compose():
+    """All 170 YAMLs parse; every top-level app config composes; every
+    dataset/megatrain + train_params + loss + model group loads."""
+    from pathlib import Path
+
+    import yaml
+
+    from mapanything_tpu.utils.config import load_config
+
+    root = Path(__file__).resolve().parent.parent / "configs"
+    files = sorted(root.rglob("*.yaml"))
+    assert len(files) >= 160, len(files)
+    for f in files:
+        with open(f) as fh:
+            yaml.safe_load(fh)
+
+    for app in ("train.yaml", "finetune.yaml", "dense_n_view_benchmark.yaml",
+                "calibration_benchmark.yaml", "rmvd_benchmark.yaml",
+                "inference.yaml"):
+        load_config(root / app)
+
+    # every dataset recipe composes under train.yaml via a GROUP override
+    for recipe in sorted((root / "dataset").glob("megatrain_*.yaml")):
+        cfg = load_config(
+            root / "train.yaml", overrides=[f"dataset={recipe.stem}"]
+        )
+        assert "train_dataset" in cfg["dataset"], recipe.stem
+        assert "${" not in str(cfg["dataset"]["train_dataset"])
+    # stage-2: 24-view recipe + finetune params compose together
+    cfg = load_config(
+        root / "train.yaml",
+        overrides=["dataset=megatrain_13d_518_many_ar_24v_48ipg_64g",
+                   "train_params=lower_encoder_lr_64g"],
+    )
+    assert cfg["dataset"]["num_views"] == 24
+    assert cfg["train_params"]["submodule_configs"]["encoder"]["lr_scale"] == 0.1
+    for group, names in {
+        "loss": [p.stem for p in (root / "loss").glob("*.yaml")],
+        "train_params": [p.stem for p in (root / "train_params").glob("*.yaml")],
+    }.items():
+        for name in names:
+            load_config(root / group / f"{name}.yaml", config_dir=root / group)
