@@ -269,6 +269,11 @@ class MapAnythingConfig:
     with_confidence: bool = True
     with_mask: bool = True
     use_factored_predictions_for_global_pointmaps: bool = True
+    # Feature-returner encoder preset (dinov2_large_feature_returner,
+    # reference model.py:166-172,1725-1737): the RAW image-encoder output
+    # is prepended to the dense-head feature list (5 levels). Only the
+    # list-consuming heads (mae/moge) accept it, as upstream.
+    use_raw_encoder_features_for_dpt: bool = False
     # adaptors (raydirs_depth_pose_confidence_mask_scale.yaml)
     dense_adaptor: DenseAdaptorConfig = field(
         default_factory=lambda: DenseAdaptorConfig(
@@ -556,6 +561,12 @@ class MapAnything(nn.Module):
             intermediates[1].astype(fdt),
             final_feats.astype(fdt),
         ]
+        if cfg.use_raw_encoder_features_for_dpt:
+            assert cfg.dense_head_type in ("mae", "moge"), (
+                "raw encoder features need a list-consuming head "
+                "(reference model.py:364-372)"
+            )
+            dense_inputs = [enc_feats.astype(fdt)] + dense_inputs
         dense_inputs = [x.reshape(B * V, h, w, x.shape[-1]) for x in dense_inputs]
 
         pose_head = PoseHead(

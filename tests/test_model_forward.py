@@ -185,3 +185,47 @@ class TestHeadVariants:
         preds = model.apply(params, views)
         assert preds.rgb.shape == (B, V, H, W, 3)
         assert bool(jnp.all((preds.rgb >= 0) & (preds.rgb <= 1)))
+
+
+def test_raw_encoder_features_mae_head():
+    """Feature-returner preset: the raw encoder output joins the MAE
+    head's feature list (reference model.py:166-172,1725-1737)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mapanything_tpu.models.mapanything import (
+        MapAnything,
+        MapAnythingConfig,
+        Views,
+    )
+
+    cfg = MapAnythingConfig.small(
+        dense_head_type="mae",
+        scene_rep_type="raydirs+depth+rgb+pose",
+        use_raw_encoder_features_for_dpt=True,
+    )
+    from dataclasses import replace
+
+    from mapanything_tpu.models.heads.adaptors import (
+        DenseAdaptorConfig,
+        dense_components_for_scene_rep,
+    )
+
+    cfg = cfg.with_updates(
+        dense_adaptor=DenseAdaptorConfig(
+            components=dense_components_for_scene_rep("raydirs+depth+rgb+pose"),
+            with_confidence=True,
+            with_mask=True,
+        )
+    )
+    model = MapAnything(cfg)
+    views = Views(img=jnp.asarray(
+        np.random.RandomState(0).rand(1, 2, 28, 28, 3), jnp.float32
+    ))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), views)
+    preds = model.apply(params, views)
+    assert preds.rgb is not None and preds.rgb.shape == (1, 2, 28, 28, 3)
+    assert np.isfinite(np.asarray(preds.pts3d)).all()
+    # the MAE head saw 5 feature levels: embed_4 exists
+    assert "embed_4" in params["params"]["mae_head"]
