@@ -1,0 +1,14 @@
+#!/usr/bin/env bash
+# Scene-rep ablation: direct pointmap regression
+# (reference bash_scripts/train/ablations/)
+set -euo pipefail
+WAI_ROOT=${WAI_ROOT:?set WAI_ROOT}
+METADATA=${METADATA:?set METADATA}
+EXP=${EXP:-outputs/experiments}
+python scripts/train.py --config configs/train.yaml \
+  --override machine.root_data_dir="$WAI_ROOT" \
+  --override machine.mapanything_dataset_metadata_dir="$METADATA" \
+  --override machine.root_experiments_dir="$EXP" \
+  --override model=mapanything_ablations \
+  --override loss=conf_pm_mask_loss \
+  --override dataset=bmvs_518_many_ar_48ipg_8g

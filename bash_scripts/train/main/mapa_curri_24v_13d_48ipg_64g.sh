@@ -1,0 +1,15 @@
+#!/usr/bin/env bash
+# Stage 2: up-to-24-view curriculum from the stage-1 checkpoint
+# (reference bash_scripts/train/main/mapa_curri_24v_13d_48ipg_64g.sh)
+set -euo pipefail
+WAI_ROOT=${WAI_ROOT:?set WAI_ROOT}
+METADATA=${METADATA:?set METADATA}
+EXP=${EXP:-outputs/experiments}
+python scripts/train.py --config configs/train.yaml \
+  --override machine.root_data_dir="$WAI_ROOT" \
+  --override machine.mapanything_dataset_metadata_dir="$METADATA" \
+  --override machine.root_experiments_dir="$EXP" \
+  --override dataset=megatrain_13d_518_many_ar_24v_48ipg_64g \
+  --override train_params=lower_encoder_lr_64g \
+  --override distributed.max_num_of_imgs_per_chip=48 \
+  --override distributed.accum_iter=1
