@@ -88,7 +88,13 @@ def loss_batch_from_numpy(batch_np: Dict[str, np.ndarray]) -> LossBatch:
 
 
 class Trainer:
-    """Epoch-driven trainer over a MultiViewDataLoader."""
+    """Epoch-driven trainer over a MultiViewDataLoader.
+
+    With ``mesh`` set, every batch is placed with (data, view) shardings
+    and parameters/optimizer state replicated — the single-host jit path
+    and the pod path are the same code (__graft_entry__.dryrun_multichip
+    validates the sharded step on the virtual mesh).
+    """
 
     def __init__(
         self,
@@ -99,6 +105,7 @@ class Trainer:
         loss_cfg: LossConfig = LossConfig(),
         geo_cfg: GeometricInputConfig = GeometricInputConfig(),
         init_params=None,
+        mesh=None,
     ):
         self.model = model
         self.train_loader = train_loader
@@ -106,6 +113,7 @@ class Trainer:
         self.cfg = cfg
         self.loss_cfg = loss_cfg
         self.geo_cfg = geo_cfg
+        self.mesh = mesh
 
         epoch_len = max(len(train_loader), 1)
         submods = {
@@ -128,6 +136,13 @@ class Trainer:
 
         if init_params is None:
             raise ValueError("init_params required (use model.init on a sample batch)")
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            init_params = jax.tree.map(
+                lambda x: jax.device_put(x, rep), init_params
+            )
         self.optimizer = build_optimizer(self.opt_cfg, init_params)
         self.state = TrainState(
             params=init_params,
@@ -169,6 +184,26 @@ class Trainer:
             f"batch + checkpoint dumped to {out}"
         )
 
+    def _shard_batch(self, img, batch):
+        """Place (B, V, ...) arrays with (data, view) sharding on the mesh."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mapanything_tpu.parallel.mesh import DATA_AXIS, VIEW_AXIS
+
+        bv = NamedSharding(self.mesh, P(DATA_AXIS, VIEW_AXIS))
+        b_only = NamedSharding(self.mesh, P(DATA_AXIS))
+
+        def put(x):
+            if x is None:
+                return None
+            if hasattr(x, "ndim") and x.ndim >= 2:
+                return jax.device_put(x, bv)
+            if hasattr(x, "ndim") and x.ndim == 1:
+                return jax.device_put(x, b_only)
+            return x
+
+        return put(img), jax.tree.map(put, batch)
+
     def _accum_step_for(self, n: int):
         from mapanything_tpu.train.step import make_accum_train_step
 
@@ -198,6 +233,8 @@ class Trainer:
             self.rng, step_rng = jax.random.split(self.rng)
             img = jnp.asarray(batch_np["img"])
             batch = loss_batch_from_numpy(batch_np)
+            if self.mesh is not None:
+                img, batch = self._shard_batch(img, batch)
             self.state, metrics = self.train_step(self.state, img, batch, step_rng)
             loss = float(metrics["loss"])
             if not np.isfinite(loss) or loss > self.cfg.max_loss_explosion:

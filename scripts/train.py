@@ -89,6 +89,15 @@ def main():
     )
     dataset = build_dataset(dataset_expr)
     dist = cfg.get("distributed", {})
+    mesh_cfg = dist.get("mesh", {}) or {}
+    mesh = None
+    view_par = int(mesh_cfg.get("view_parallelism", 1) or 1)
+    data_par = mesh_cfg.get("data_parallelism", -1)
+    if view_par > 1 or (isinstance(data_par, int) and data_par > 1):
+        from mapanything_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices(), view_parallelism=view_par)
+        print(f"training on mesh {dict(mesh.shape)}")
     images_per_batch = cfg.get(
         "images_per_batch", dist.get("max_num_of_imgs_per_chip", 8)
     )
@@ -125,9 +134,13 @@ def main():
     )
     trainer = Trainer(
         model, loader, loop_cfg, loss_cfg=loss_cfg, geo_cfg=geo_cfg,
-        init_params=params,
+        init_params=params, mesh=mesh,
     )
-    trainer.train()
+    if mesh is not None:
+        with mesh:
+            trainer.train()
+    else:
+        trainer.train()
 
 
 if __name__ == "__main__":

@@ -107,3 +107,23 @@ def test_trainer_gradient_accumulation(tiny_setup, tmp_path):
     assert np.isfinite(stats["train_loss"])
     # one optimizer step per accum group (same-shape tiny loader)
     assert int(trainer.state.step) == (n_batches + 1) // 2
+
+
+def test_trainer_on_mesh(tiny_setup, tmp_path):
+    """Trainer with a (data, view) mesh: batches sharded, params
+    replicated, one epoch runs to a finite loss on the virtual mesh."""
+    import jax
+
+    from mapanything_tpu.parallel.mesh import make_mesh
+    from mapanything_tpu.train.loop import Trainer, TrainLoopConfig
+
+    ds, loader, model, params, _ = tiny_setup
+    mesh = make_mesh(jax.devices()[:4], view_parallelism=2)
+    cfg = TrainLoopConfig(
+        output_dir=str(tmp_path), epochs=1, warmup_epochs=0.1,
+        print_freq=100, resume=False,
+    )
+    trainer = Trainer(model, loader, cfg, init_params=params, mesh=mesh)
+    with mesh:
+        stats = trainer.train_one_epoch(0)
+    assert np.isfinite(stats["train_loss"])
