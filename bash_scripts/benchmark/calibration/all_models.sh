@@ -6,10 +6,10 @@ WAI_ROOT=${WAI_ROOT:?set WAI_ROOT}
 METADATA=${METADATA:?set METADATA}
 CKPT=${CKPT:-}
 CKPT_ARG=${CKPT:+--checkpoint "$CKPT"}
-for DS in ETH3DWAI ScanNetPPWAI TartanAirV2WBWAI; do
-  ROOT_DIR="$WAI_ROOT/$(echo "$DS" | tr 'A-Z' 'a-z' | sed 's/wai$//')"
+for DS in "ETH3DWAI eth3d" "ScanNetPPWAI scannetppv2" "TartanAirV2WBWAI tav2_wb"; do
+  read -r CLS DIR <<< "$DS"
   python scripts/benchmark_calibration.py \
-    --dataset-expr "${DS}(ROOT='${ROOT_DIR}', dataset_metadata_dir='${METADATA}', split='test', num_views=1, resolution=(518, 336))" \
+    --dataset-expr "${CLS}(ROOT='${WAI_ROOT}/${DIR}', dataset_metadata_dir='${METADATA}', split='test', num_views=1, resolution=(518, 336))" \
     $CKPT_ARG \
-    --out "outputs/benchmark/calibration_${DS}.json"
+    --out "outputs/benchmark/calibration_${CLS}.json"
 done
