@@ -209,7 +209,8 @@ class Trainer:
 
         if n not in self._accum_steps:
             self._accum_steps[n] = make_accum_train_step(
-                self.model, self.optimizer, n, self.loss_cfg, self.geo_cfg
+                self.model, self.optimizer, n, self.loss_cfg, self.geo_cfg,
+                donate=False,
             )
         return self._accum_steps[n]
 

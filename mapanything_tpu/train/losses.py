@@ -636,3 +636,46 @@ def dust3r_regr3d_conf_loss(
     total = jnp.sum(per_view)
     return total, {"regr3d_conf_loss": total,
                    "regr3d_l2": masked_mean(pix, gt_valid)}
+
+
+def rgb_perception_loss(
+    vgg_params,
+    pred_rgb: jnp.ndarray,
+    gt_rgb: jnp.ndarray,
+    valid: Optional[jnp.ndarray] = None,
+    compute_dtype: str = "float32",
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """[FORK] VGG19 perceptual loss on predicted RGB (losses.py:467,849).
+
+    Parity: ``RGBColorPerceptionLoss(PerceptualLoss())`` — per view, the
+    prediction and GT (both RGB in [0, 1]) are preprocessed Caffe-style
+    and compared at the pixel level plus five VGG19 (avg-pool) feature
+    taps with the reference's fixed per-level weights; the per-sample
+    distance is optionally scaled by the sample's valid-pixel fraction
+    (PerceptualLoss mask semantics, losses.py:527-530), then averaged
+    over samples and summed over views.
+
+    Args:
+        vgg_params: frozen ``VGG19Features`` params (converted ImageNet
+            weights via ``convert_vgg19_features``, or any fixed net).
+        pred_rgb / gt_rgb: (B, V, H, W, 3) in [0, 1].
+        valid: optional (B, V, H, W) bool validity mask.
+    """
+    from mapanything_tpu.models.perceptual import (
+        VGG19Features,
+        perceptual_distance,
+    )
+
+    B, V = pred_rgb.shape[:2]
+    net = VGG19Features(compute_dtype=compute_dtype)
+    flat = lambda x: x.reshape((B * V,) + x.shape[2:])
+    taps_pred = net.apply(vgg_params, flat(pred_rgb))
+    taps_gt = net.apply(vgg_params, flat(gt_rgb))
+    dist = perceptual_distance(taps_pred, taps_gt)  # (B*V,)
+    if valid is not None:
+        dist = dist * jnp.mean(
+            flat(valid).astype(jnp.float32), axis=(-2, -1)
+        )
+    per_view = jnp.mean(dist.reshape(B, V), axis=0)  # mean over batch
+    total = jnp.sum(per_view)  # sum over views (MultiLoss convention)
+    return total, {"rgb_perception": total}

@@ -115,11 +115,14 @@ def make_accum_train_step(
     accum_iter: int,
     loss_cfg: LossConfig = LossConfig(),
     geo_cfg: GeometricInputConfig = GeometricInputConfig(),
+    donate: bool = True,
 ):
     """Gradient accumulation over ``accum_iter`` micro-batches via lax.scan.
 
     Parity: the reference's accum_iter loop (training.py:433,512-526). The
-    micro-batch axis is the leading axis of img / batch.
+    micro-batch axis is the leading axis of img / batch. ``donate=False``
+    keeps the caller's state buffers alive (the Trainer passes the user's
+    ``init_params`` by reference, so its first step must not consume them).
     """
 
     def step_fn(state: TrainState, img_stack, batch_stack: LossBatch, rng):
@@ -157,7 +160,7 @@ def make_accum_train_step(
         )
         return new_state, dict(loss=loss, grad_norm=optax.global_norm(grads))
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(model: MapAnything, loss_cfg: LossConfig = LossConfig()):

@@ -905,3 +905,79 @@ def convert_cosmos_encoder(state: Mapping[str, np.ndarray]) -> Dict:
         params["quant_conv"] = conv2d(sd["quant_conv.weight"],
                                       sd["quant_conv.bias"])
     return params
+
+
+def convert_vgg19_features(state: Mapping[str, np.ndarray]) -> Dict:
+    """torchvision ``vgg19`` state dict -> our ``VGG19Features`` tree.
+
+    torchvision names the conv tower ``features.{i}.weight/bias`` with
+    conv layers at indices 0,2,5,7,10,...,34 (VGG configuration "E");
+    our flax module names each conv ``conv{i}`` by the same torchvision
+    index (models/perceptual.py). Only the convs up to the last
+    perceptual tap (features index 32) are needed. Accepts full
+    torchvision dicts (classifier weights ignored) with or without the
+    ``features.`` prefix. Parity: mapanything/train/losses.py:478-495.
+    """
+    from mapanything_tpu.models.perceptual import VGG19_CONV_INDICES
+
+    sd = {k: _t(v) for k, v in state.items()}
+    if any(k.startswith("features.") for k in sd):
+        sd = {k[len("features."):]: v for k, v in sd.items()
+              if k.startswith("features.")}
+    params: Dict = {}
+    for i in VGG19_CONV_INDICES:
+        if f"{i}.weight" not in sd:
+            break  # taps only need convs below index 32
+        params[f"conv{i}"] = conv2d(sd[f"{i}.weight"], sd[f"{i}.bias"])
+    return params
+
+
+def convert_anycalib(state: Mapping[str, np.ndarray]) -> Dict:
+    """Upstream ``anycalib`` checkpoint -> our ``AnyCalibNet`` tree.
+
+    The upstream pip package (arXiv:2503.12701) is NOT vendored in the
+    reference (``mapanything/models/external/anycalib/__init__.py``
+    imports it from site-packages), so only its published structure can
+    be targeted: a DINOv2 backbone (``backbone.*``, standard DINOv2
+    naming -> routed through :func:`convert_dinov2_vit`, which IS
+    numerically validated against the real reference DINOv2) plus a
+    light conv decoder. Decoder tensors are mapped by shape onto our
+    ``dec_in``/``up{i}``/``dec_out`` convs; a mismatch raises so silent
+    garbage cannot load. Use ``verify_tree_shapes`` after conversion.
+    """
+    sd = {k: _t(v) for k, v in state.items()}
+    bb_prefix = None
+    for cand in ("backbone.", "model.backbone.", "net.backbone."):
+        if any(k.startswith(cand) for k in sd):
+            bb_prefix = cand
+            break
+    if bb_prefix is None:
+        raise ValueError(
+            "convert_anycalib: no 'backbone.*' keys found; got e.g. "
+            + ", ".join(sorted(sd)[:5])
+        )
+    vit = {k[len(bb_prefix):]: v for k, v in sd.items()
+           if k.startswith(bb_prefix)}
+    params: Dict = {"backbone": convert_dinov2_vit(vit)}
+
+    # Decoder: collect remaining conv/conv-transpose weights in checkpoint
+    # order and map onto our decoder slots by kind.
+    rest = {k: v for k, v in sd.items() if not k.startswith(bb_prefix)}
+    convs = [(k, v) for k, v in rest.items()
+             if k.endswith(".weight") and v.ndim == 4]
+    ups, plains = [], []
+    for k, v in convs:
+        base = k[:-len(".weight")]
+        pair = (v, rest.get(base + ".bias"))
+        # transpose convs / upsamplers carry 'up' or 'deconv' in their name
+        (ups if ("up" in base or "deconv" in base) else plains).append(pair)
+    if len(plains) < 2:
+        raise ValueError(
+            "convert_anycalib: expected >=2 plain decoder convs, got "
+            f"{len(plains)}"
+        )
+    params["dec_in"] = conv2d(*plains[0])
+    for i, pair in enumerate(ups[:2]):
+        params[f"up{i}"] = conv_transpose2d(*pair)
+    params["dec_out"] = conv2d(*plains[-1])
+    return params

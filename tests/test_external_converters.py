@@ -309,3 +309,65 @@ class TestCosmosConverterVsReference:
         want = want.permute(0, 2, 3, 1).numpy()
         got = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
         np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-4)
+
+
+class TestAnyCalibConverter:
+    """convert_anycalib (VERDICT r1 item 6, last missing converter).
+
+    Upstream anycalib is a pip package not vendored in the reference
+    (external/anycalib/__init__.py imports it), so the converter targets
+    its published structure: a DINOv2 backbone under ``backbone.*``
+    (numerics of that route are covered by test_vit_torch_parity) plus a
+    light conv decoder mapped by naming convention. This test validates
+    the full converted tree loads into the real AnyCalibNet.
+    """
+
+    def _torch_state(self, dim=64, depth=4, heads=4, dec=32):
+        torch.manual_seed(3)
+        from tests.test_torch_convert import TorchDinoViT
+
+        # grid=37: ViTEncoder keeps the native 518px pos-embed table and
+        # bicubic-resizes it to the input grid, as upstream DINOv2 does.
+        bb = TorchDinoViT(dim=dim, heads=heads, depth=depth, patch=14, grid=37)
+        sd = {f"backbone.{k}": v.detach().numpy()
+              for k, v in bb.state_dict().items()}
+        sd["backbone.register_tokens"] = np.random.randn(1, 4, dim).astype(
+            np.float32
+        )
+        # decoder: dec_in conv3x3, two transpose-conv upsamplers, out conv
+        sd["decoder.conv_in.weight"] = np.random.randn(dec, dim, 3, 3).astype(np.float32)
+        sd["decoder.conv_in.bias"] = np.zeros(dec, np.float32)
+        ch = dec
+        for i in range(2):
+            out_ch = dec // (2 ** (i + 1))
+            sd[f"decoder.up{i}.weight"] = np.random.randn(ch, out_ch, 2, 2).astype(np.float32)
+            sd[f"decoder.up{i}.bias"] = np.zeros(out_ch, np.float32)
+            ch = out_ch
+        sd["decoder.conv_out.weight"] = np.random.randn(2, ch, 3, 3).astype(np.float32)
+        sd["decoder.conv_out.bias"] = np.zeros(2, np.float32)
+        return sd
+
+    def test_tree_loads_into_anycalib_net(self):
+        from mapanything_tpu.models.external.anycalib import (
+            AnyCalibConfig,
+            AnyCalibNet,
+        )
+        from mapanything_tpu.utils.torch_convert import convert_anycalib
+
+        converted = convert_anycalib(self._torch_state())
+        cfg = AnyCalibConfig(
+            decoder_dim=32, patch_embed="vit", patch_embed_vit_size="test"
+        )
+        net = AnyCalibNet(cfg)
+        img = jnp.zeros((1, 56, 56, 3))
+        template = net.init(jax.random.PRNGKey(0), img)["params"]
+        problems = verify_tree_shapes(converted, template)
+        assert not problems, problems
+        out = net.apply({"params": converted}, img)
+        assert np.all(np.isfinite(np.asarray(out["rays"])))
+
+    def test_missing_backbone_raises(self):
+        from mapanything_tpu.utils.torch_convert import convert_anycalib
+
+        with pytest.raises(ValueError, match="backbone"):
+            convert_anycalib({"decoder.conv.weight": np.zeros((2, 2, 3, 3))})
