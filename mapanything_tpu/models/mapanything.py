@@ -312,6 +312,13 @@ class MapAnythingConfig:
     # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable) — trades
     # a little memory for far less recompute in the backward.
     remat_policy: Optional[str] = None
+    # Per-part policy override: None follows ``remat_policy``. The encoder
+    # cost is linear in V while the trunk's global attention is quadratic,
+    # so a richer save policy on the encoder (whose replay the backward
+    # would otherwise pay in full) with full recompute on the trunk is the
+    # throughput sweet spot at training shapes.
+    encoder_remat_policy: Optional[str] = None
+    trunk_remat_policy: Optional[str] = None
     head_chunk_size: Optional[int] = None  # chunk B*V for the dense head
 
     def with_updates(self, **kw):
@@ -385,7 +392,11 @@ class MapAnything(nn.Module):
             patch_size=cfg.patch_size,
             dtype=dtype,
             remat=cfg.remat if cfg.encoder_remat is None else cfg.encoder_remat,
-            remat_policy=cfg.remat_policy,
+            remat_policy=(
+                cfg.remat_policy
+                if cfg.encoder_remat_policy is None
+                else cfg.encoder_remat_policy
+            ),
             name="encoder",
         )
         enc_feats = encoder(imgs.reshape(B * V, H, W, 3), deterministic)
@@ -540,7 +551,11 @@ class MapAnything(nn.Module):
             context_parallel=cfg.context_parallel_trunk,
             dtype=dtype,
             remat=cfg.remat if cfg.trunk_remat is None else cfg.trunk_remat,
-            remat_policy=cfg.remat_policy,
+            remat_policy=(
+                cfg.remat_policy
+                if cfg.trunk_remat_policy is None
+                else cfg.trunk_remat_policy
+            ),
             name="info_sharing",
         )
         final_feats, intermediates, token_feats = trunk(

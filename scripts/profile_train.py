@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--remat-policy", default=None,
                     help="None|dots|dots_saveable|save_attn|save_attn_mlp")
+    ap.add_argument("--encoder-remat-policy", default=None)
+    ap.add_argument("--trunk-remat-policy", default=None)
+    ap.add_argument("--no-encoder-remat", action="store_true")
     ap.add_argument("--no-trunk-remat", action="store_true")
     ap.add_argument("--head-dtype", default="float32")
     ap.add_argument("--reps", type=int, default=4)
@@ -54,8 +57,11 @@ def main():
         compute_dtype="bfloat16",
         head_dtype=args.head_dtype,
         remat=not args.no_remat,
+        encoder_remat=False if args.no_encoder_remat else None,
         trunk_remat=False if args.no_trunk_remat else None,
         remat_policy=args.remat_policy,
+        encoder_remat_policy=args.encoder_remat_policy,
+        trunk_remat_policy=args.trunk_remat_policy,
     )
     model = MapAnything(cfg)
     rng = np.random.RandomState(0)
