@@ -22,10 +22,17 @@ def main():
     ap.add_argument("--views", type=int, default=4)
     ap.add_argument("--res", type=int, default=518)
     ap.add_argument("--no-remat", action="store_true")
-    ap.add_argument("--remat-policy", default=None,
-                    help="None|dots|dots_saveable|save_attn|save_attn_mlp")
-    ap.add_argument("--encoder-remat-policy", default=None)
-    ap.add_argument("--trunk-remat-policy", default=None)
+    _POLICIES = ["dots", "dots_saveable", "save_attn", "save_attn_mlp"]
+    ap.add_argument("--remat-policy", default=None, choices=_POLICIES,
+                    help="global remat save policy (default: save nothing)")
+    ap.add_argument("--encoder-remat-policy", default=None,
+                    choices=_POLICIES + ["nothing"],
+                    help="encoder override; 'nothing' = full recompute for "
+                         "the encoder while a global --remat-policy is set")
+    ap.add_argument("--trunk-remat-policy", default=None,
+                    choices=_POLICIES + ["nothing"],
+                    help="trunk override; 'nothing' = full recompute for "
+                         "the trunk while a global --remat-policy is set")
     ap.add_argument("--no-encoder-remat", action="store_true")
     ap.add_argument("--no-trunk-remat", action="store_true")
     ap.add_argument("--head-dtype", default="float32")
