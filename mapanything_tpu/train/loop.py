@@ -158,8 +158,14 @@ class Trainer:
         self.ckpt = CheckpointManager(
             str(Path(cfg.output_dir) / "checkpoints"), keep_freq=cfg.keep_freq
         )
+        # checkpoint-best: saved whenever the test loss improves
+        # (reference training.py:237-287 saves 'checkpoint-best.pth').
+        self.ckpt_best = CheckpointManager(
+            str(Path(cfg.output_dir) / "checkpoints-best"), max_to_keep=1
+        )
         self.jsonl = JsonlLogger(cfg.output_dir)
         self.start_epoch = 0
+        self.best_loss = float("inf")
         self.rng = jax.random.PRNGKey(cfg.seed)
 
         if cfg.resume and self.ckpt.latest_step() is not None:
@@ -168,6 +174,8 @@ class Trainer:
                 self.state = restored
                 meta = self.ckpt.load_metadata() or {}
                 self.start_epoch = int(meta.get("epoch", 0)) + 1
+                best_meta = self.ckpt_best.load_metadata() or {}
+                self.best_loss = float(best_meta.get("best_loss", float("inf")))
                 print_main(f"Resumed from checkpoint at epoch {self.start_epoch - 1}")
 
     # ------------------------------------------------------------------
@@ -214,10 +222,33 @@ class Trainer:
             )
         return self._accum_steps[n]
 
+    def _shard_stacked(self, imgs, batch_stack):
+        """Place (N, B, V, ...) accumulation stacks with (data, view)
+        sharding on axes 1/2 (the leading axis is the scan dim)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mapanything_tpu.parallel.mesh import DATA_AXIS, VIEW_AXIS
+
+        nbv = NamedSharding(self.mesh, P(None, DATA_AXIS, VIEW_AXIS))
+        nb = NamedSharding(self.mesh, P(None, DATA_AXIS))
+
+        def put(x):
+            if x is None:
+                return None
+            if hasattr(x, "ndim") and x.ndim >= 3:
+                return jax.device_put(x, nbv)
+            if hasattr(x, "ndim") and x.ndim == 2:
+                return jax.device_put(x, nb)
+            return x
+
+        return put(imgs), jax.tree.map(put, batch_stack)
+
     def _run_accum_group(self, group, step_rng):
         imgs = jnp.stack([jnp.asarray(b["img"]) for b in group])
         batches = [loss_batch_from_numpy(b) for b in group]
         batch_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+        if self.mesh is not None:
+            imgs, batch_stack = self._shard_stacked(imgs, batch_stack)
         return self._accum_step_for(len(group))(
             self.state, imgs, batch_stack, step_rng
         )
@@ -250,14 +281,23 @@ class Trainer:
     def _train_one_epoch_accum(self, epoch, logger, header):
         group = []
         shape = None
+        it = 0
 
         def flush():
+            """Run the pending group; every flush (full group, bucket-shape
+            change, trailing partial) gets the same loss-explosion forensic
+            check (reference training.py:481-510)."""
             nonlocal group, shape
             if not group:
                 return None
+            last_batch = group[-1]
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, metrics = self._run_accum_group(group, step_rng)
             group, shape = [], None
+            loss = float(metrics["loss"])
+            if not np.isfinite(loss) or loss > self.cfg.max_loss_explosion:
+                self._dump_forensics(last_batch, loss, epoch, it)
+            logger.update(loss=loss, grad_norm=float(metrics["grad_norm"]))
             return metrics
 
         for it, batch_np in enumerate(
@@ -265,22 +305,12 @@ class Trainer:
         ):
             b_shape = batch_np["img"].shape
             if shape is not None and b_shape != shape:
-                metrics = flush()
-                if metrics is not None:
-                    logger.update(loss=float(metrics["loss"]),
-                                  grad_norm=float(metrics["grad_norm"]))
+                flush()
             group.append(batch_np)
             shape = b_shape
             if len(group) == self.cfg.accum_iter:
-                metrics = flush()
-                loss = float(metrics["loss"])
-                if not np.isfinite(loss) or loss > self.cfg.max_loss_explosion:
-                    self._dump_forensics(batch_np, loss, epoch, it)
-                logger.update(loss=loss, grad_norm=float(metrics["grad_norm"]))
-        metrics = flush()
-        if metrics is not None:
-            logger.update(loss=float(metrics["loss"]),
-                          grad_norm=float(metrics["grad_norm"]))
+                flush()
+        flush()
         stats = logger.global_avg_dict("train_")
         stats["train_loss_synced"] = all_reduce_mean(stats.get("train_loss", 0.0))
         return stats
@@ -295,12 +325,13 @@ class Trainer:
         ):
             img = jnp.asarray(batch_np["img"])
             batch = loss_batch_from_numpy(batch_np)
+            if self.mesh is not None:
+                img, batch = self._shard_batch(img, batch)
             metrics = self.eval_step(self.state.params, img, batch)
             logger.update(loss=float(metrics["loss"]))
         return logger.global_avg_dict("test_")
 
     def train(self):
-        best_loss = float("inf")
         for epoch in range(self.start_epoch, self.cfg.epochs):
             t0 = time.time()
             train_stats = self.train_one_epoch(epoch)
@@ -315,7 +346,12 @@ class Trainer:
             if epoch % self.cfg.save_freq == 0 or epoch == self.cfg.epochs - 1:
                 self.ckpt.save(epoch, self.state, {"epoch": epoch})
             test_loss = test_stats.get("test_loss")
-            if test_loss is not None and test_loss < best_loss:
-                best_loss = test_loss
+            if test_loss is not None and test_loss < self.best_loss:
+                self.best_loss = test_loss
+                self.ckpt_best.save(
+                    epoch, self.state,
+                    {"epoch": epoch, "best_loss": test_loss},
+                )
         self.ckpt.wait()
+        self.ckpt_best.wait()
         return self.state
