@@ -762,7 +762,22 @@ def _core_bwd(block_q, block_k, interpret, res, g3):
 # ---------------------------------------------------------------------------
 
 
-def _pick_blocks(tq: int, tk: int, block_q: int, block_k: int):
+def _single_pass_vmem(bq: int, bk: int, d: int, itemsize: int) -> int:
+    """Scoped-VMEM estimate of the single-K-pass kernel at (bq, bk):
+    double-buffered q/k/v/o + lse blocks, the fp32 score matrix (exp2'd
+    in place), and the p cast for the PV matmul when inputs are sub-fp32.
+    Calibrated against real v5e compiles: the known-good encoder config
+    (1408, 1536) bf16 lands at ~15.8 MB (fits); (2048, 2048) fp32 at
+    ~18.6 MB (observed scoped-vmem OOM on chip)."""
+    io = 2 * itemsize * (2 * bq * d + 2 * bk * d)  # q,o + k,v double-buffered
+    lse = 2 * 4 * bq * 128
+    scores = 4 * bq * bk
+    cast = itemsize * bq * bk if itemsize < 4 else 0
+    return io + lse + scores + cast
+
+
+def _pick_blocks(tq: int, tk: int, block_q: int, block_k: int,
+                 d: int = 64, itemsize: int = 2):
     """Block selection, tuned on the v5e at the model's attention regimes
     (scripts/bench_attention_blocks.py, multi-layer scans inside one jit):
 
@@ -774,7 +789,10 @@ def _pick_blocks(tq: int, tk: int, block_q: int, block_k: int):
         ms, frame 8x1369 h12 2.55 -> 1.98 ms per layer at (bq, bk) =
         (1408, 1536). NOTE: q blocks must divide pad(tq, bq) exactly or
         rows are silently dropped — every "smaller bq wins" microbench
-        result turned out to be that bug.
+        result turned out to be that bug. The q block shrinks until the
+        score matrix fits scoped VMEM (16 MB): at tk ~ 2048 a full-tq
+        block is an 16.7+ MB fp32 score matrix and hard-OOMs the compile
+        (observed at (2048, 2048) fp32 on chip).
       - LONG sequences (the global regime, V*H*W+1 tokens): streaming
         (1024, 1024) blocks win (6.86 ms at 1x10953 h12, 53.7 TFLOP/s;
         bk=1408/2048 and bq=512/2048 all regress).
@@ -786,6 +804,8 @@ def _pick_blocks(tq: int, tk: int, block_q: int, block_k: int):
     ):
         bk = _pad_to(tk, 512)
         bq = min(_pad_to(tq, 128), 2048)
+        while bq > 128 and _single_pass_vmem(bq, bk, d, itemsize) > 16 * 2**20:
+            bq = _pad_to(bq // 2, 128)
     else:
         bq = min(block_q, _pad_to(tq, 128))
         bk = min(block_k, _pad_to(tk, 128))
@@ -916,3 +936,72 @@ def flash_attention_lse(
     lse2 = res[-1][:, :tq]  # (B*H, Tq), base-2, shifted by -SHIFT2
     lse = (lse2 + SHIFT2) * LN2
     return o, lse.reshape(b, h, tq)
+
+
+def flash_attention_bwd_lse(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    o: jnp.ndarray,
+    lse: jnp.ndarray,
+    do: jnp.ndarray,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+):
+    """FlashAttention-2 backward of ONE KV block against a GLOBAL softmax.
+
+    The adjoint building block for ring attention
+    (parallel/sharded_attention.py): ``o`` is the fully-merged attention
+    output over the ENTIRE KV set and ``lse`` its global natural-log
+    normalizer (the merge of :func:`flash_attention_lse` partials), while
+    ``k``/``v`` are one resident KV shard. Runs the existing Pallas dq and
+    dk+dv kernels — the per-block score matrix lives only in VMEM tiles,
+    so the differentiated ring stays O(T/n) in HBM per chip instead of the
+    O((T/n)^2) a materialized softmax slice would cost.
+
+    Args:
+        q:  (B, Tq, H, D) local queries (unscaled).
+        k/v: (B, Tk_blk, H, D) the KV block.
+        o:  (B, Tq, H, D) GLOBAL attention output for these queries.
+        lse: (B, H, Tq) fp32 global natural-log normalizer of the scaled
+            logits (as returned by flash_attention_lse / lse merging).
+        do: (B, Tq, H, D) output cotangent.
+
+    Returns:
+        (dq_partial, dk, dv): this block's contribution to dq (sum over
+        blocks gives the total) and the full dk/dv for this block.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    bq, bk = _pick_blocks(tq, tk, block_q, block_k)
+    tq_pad = _pad_to(tq, bq)
+    tk_pad = _pad_to(tk, bk)
+
+    col = jnp.arange(tk_pad)
+    bias = jnp.where(col < tk, -SHIFT2, NEG_INF).astype(jnp.float32)[None, :]
+
+    q3 = _to3(_scale_fold(q, float(scale)), tq_pad)
+    k3 = _to3(k, tk_pad)
+    v3 = _to3(v, tk_pad)
+    o3 = _to3(o, tq_pad)
+    g3 = _to3(do, tq_pad)
+    # Global lse (natural log of scaled logits) -> the kernels' base-2
+    # constant-shift domain. Padded q rows carry lse 0 and do 0: their
+    # ds/dv contributions vanish (do = 0 => dp - delta = 0, p^T do = 0).
+    lse2 = lse.reshape(b * h, tq) * LOG2E - SHIFT2
+    if tq_pad != tq:
+        lse2 = jnp.pad(lse2, ((0, 0), (0, tq_pad - tq)))
+
+    res = (q3, k3, v3, bias, o3, lse2)
+    dq3, dk3, dv3 = _core_bwd(bq, bk, interpret, res, g3)
+
+    def from3(x3, t):
+        return x3[:, :t].reshape(b, h, t, x3.shape[-1]).swapaxes(1, 2)
+
+    # Adjoint of the scale fold applied to q.
+    dq = from3(dq3, tq) * jnp.asarray(scale * LOG2E, dq3.dtype)
+    return dq, from3(dk3, tk), from3(dv3, tk)

@@ -192,3 +192,91 @@ def test_lse_variant_matches_reference():
     np.testing.assert_allclose(
         np.asarray(lse), np.asarray(ref_lse), atol=2e-5
     )
+
+
+def test_block_bwd_vs_global_lse_matches_dense_grads():
+    """flash_attention_bwd_lse: FA-2 per-block backward against a GLOBAL
+    lse. Splitting the KV set into blocks, running the helper per block,
+    and summing dq must reproduce dense-attention gradients; dk/dv land
+    per block. This is the ring backward's building block."""
+    from mapanything_tpu.ops.flash_attention import (
+        flash_attention_bwd_lse,
+        flash_attention_lse,
+    )
+
+    b, tq, tk, h, d = 1, 160, 384, 2, 64
+    scale = d ** -0.5
+    q, k, v = make_qkv(b, tq, tk, h, d, seed=5)
+    rng = np.random.RandomState(6)
+    do = jnp.asarray(rng.randn(b, tq, h, d).astype(np.float32))
+
+    # dense reference grads
+    def loss(q, k, v):
+        return jnp.sum(reference_sdpa(q, k, v, scale) * do)
+
+    want_dq, want_dk, want_dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    # global o/lse via the kernel (whole KV in one call)
+    o, lse = flash_attention_lse(q, k, v, scale, 128, 128, interpret=True)
+
+    # per-block backward: 3 blocks of 128
+    dq_total = jnp.zeros_like(q)
+    dks, dvs = [], []
+    for j in range(3):
+        sl = slice(j * 128, (j + 1) * 128)
+        dq_p, dk_b, dv_b = flash_attention_bwd_lse(
+            q, k[:, sl], v[:, sl], o, lse, do, scale=scale,
+            block_q=128, block_k=128, interpret=True,
+        )
+        dq_total = dq_total + dq_p
+        dks.append(dk_b)
+        dvs.append(dv_b)
+    dk_total = jnp.concatenate(dks, axis=1)
+    dv_total = jnp.concatenate(dvs, axis=1)
+
+    np.testing.assert_allclose(np.asarray(dq_total), np.asarray(want_dq),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk_total), np.asarray(want_dk),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv_total), np.asarray(want_dv),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_block_bwd_vs_global_lse_unpadded_lengths():
+    """Same check at lengths requiring padding inside the helper."""
+    from mapanything_tpu.ops.flash_attention import (
+        flash_attention_bwd_lse,
+        flash_attention_lse,
+    )
+
+    b, tq, tk, h, d = 1, 150, 280, 2, 64
+    scale = d ** -0.5
+    q, k, v = make_qkv(b, tq, tk, h, d, seed=7)
+    rng = np.random.RandomState(8)
+    do = jnp.asarray(rng.randn(b, tq, h, d).astype(np.float32))
+
+    def loss(q, k, v):
+        return jnp.sum(reference_sdpa(q, k, v, scale) * do)
+
+    want_dq, want_dk, want_dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    o, lse = flash_attention_lse(q, k, v, scale, 128, 128, interpret=True)
+
+    split = 140
+    dq1, dk1, dv1 = flash_attention_bwd_lse(
+        q, k[:, :split], v[:, :split], o, lse, do, scale=scale,
+        block_q=128, block_k=128, interpret=True,
+    )
+    dq2, dk2, dv2 = flash_attention_bwd_lse(
+        q, k[:, split:], v[:, split:], o, lse, do, scale=scale,
+        block_q=128, block_k=128, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(dq1 + dq2), np.asarray(want_dq),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate([dk1, dk2], axis=1)), np.asarray(want_dk),
+        atol=2e-4, rtol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate([dv1, dv2], axis=1)), np.asarray(want_dv),
+        atol=2e-4, rtol=2e-4,
+    )
