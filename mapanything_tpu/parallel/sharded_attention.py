@@ -124,7 +124,7 @@ def _ring_shard(q, k, v, scale, axis, n, backend):
 
 def _ring_fwd_pass(q, k, v, scale, axis, n, backend):
     """Scan the ring: per-step flash(+lse) on the current KV shard, exact
-    online merge through log-sum-exp. Returns (o, lse_global)."""
+    online merge through log-sum-exp. Returns (o fp32, lse_global)."""
     perm = [(i, (i + 1) % n) for i in range(n)]
     b, tq, h, d = q.shape
 
@@ -144,43 +144,76 @@ def _ring_fwd_pass(q, k, v, scale, axis, n, backend):
     (k_f, v_f, lse_f, o_f), _ = jax.lax.scan(
         step, (k, v, lse0, o0), None, length=n
     )
-    return o_f.astype(q.dtype), lse_f
+    return o_f, lse_f
 
 
 def _ring_fwd_rule(q, k, v, scale, axis, n, backend):
     o, lse = _ring_fwd_pass(q, k, v, scale, axis, n, backend)
+    o = o.astype(q.dtype)
     return o, (q, k, v, o, lse)
 
 
+def _ring_block_bwd(q, k_blk, v_blk, o, lse, do, delta, scale, backend):
+    """One ring step of the FlashAttention-2 backward against the GLOBAL
+    lse: (dq_partial, dk_blk, dv_blk), all fp32.
+
+    Pallas backends route through the FA-2 dq / dk+dv kernels
+    (ops.flash_attention.flash_attention_bwd_lse) — the per-block score
+    matrix exists only in VMEM tiles, keeping the differentiated ring
+    O(T/n) in HBM. Tiny token groups fall back to a dense fp32 einsum.
+    """
+    if q.shape[1] < 128 or k_blk.shape[1] < 128:
+        backend = "einsum"
+    if backend.startswith("pallas"):
+        from mapanything_tpu.ops.flash_attention import flash_attention_bwd_lse
+
+        dq_p, dk_b, dv_b = flash_attention_bwd_lse(
+            q, k_blk, v_blk, o, lse, do, scale=scale,
+            interpret=backend == "pallas_interpret",
+        )
+        return (
+            dq_p.astype(jnp.float32),
+            dk_b.astype(jnp.float32),
+            dv_b.astype(jnp.float32),
+        )
+    qf = q.astype(jnp.float32)
+    dof = do.astype(jnp.float32)
+    kf = k_blk.astype(jnp.float32)
+    vf = v_blk.astype(jnp.float32)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qf, kf) * scale
+    p = jnp.exp(s - lse[..., None])  # true softmax slice
+    dv_b = jnp.einsum("bhqk,bqhd->bkhd", p, dof)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", dof, vf)
+    ds = p * (dp - delta[..., None]) * scale
+    dq_p = jnp.einsum("bhqk,bkhd->bqhd", ds, kf)
+    dk_b = jnp.einsum("bhqk,bqhd->bkhd", ds, qf)
+    return dq_p, dk_b, dv_b
+
+
 def _ring_bwd_rule(scale, axis, n, backend, res, g):
-    """Ring backward: rotate KV again; per block recompute the true softmax
-    slice from the saved GLOBAL lse (FlashAttention-2 scheme), accumulate
-    dq locally and rotate dk/dv home with their shards."""
+    """Ring backward: rotate KV again; per block run the Pallas FA-2
+    backward kernels against the saved GLOBAL lse, accumulate dq locally
+    and rotate dk/dv home with their shards."""
     q, k, v, o, lse = res
     perm = [(i, (i + 1) % n) for i in range(n)]
-    qf = q.astype(jnp.float32)
-    do = g.astype(jnp.float32)
+    do = g.astype(q.dtype)
     # delta_i = sum_d do_i * o_i  (the rowwise dot in ds = p*(dp - delta))
-    delta = jnp.einsum("bqhd,bqhd->bhq", do, o.astype(jnp.float32))
+    delta = jnp.einsum(
+        "bqhd,bqhd->bhq", g.astype(jnp.float32), o.astype(jnp.float32)
+    )
 
     def step(carry, _):
         k_cur, v_cur, dk_acc, dv_acc, dq_acc = carry
-        kf = k_cur.astype(jnp.float32)
-        vf = v_cur.astype(jnp.float32)
-        s = jnp.einsum("bqhd,bkhd->bhqk", qf, kf) * scale
-        p = jnp.exp(s - lse[..., None])  # true softmax slice
-        dv_blk = jnp.einsum("bhqk,bqhd->bkhd", p, do)
-        dp = jnp.einsum("bqhd,bkhd->bhqk", do, vf)
-        ds = p * (dp - delta[..., None]) * scale
-        dq_new = dq_acc + jnp.einsum("bhqk,bkhd->bqhd", ds, kf)
-        dk_blk = jnp.einsum("bhqk,bqhd->bkhd", ds, qf)
+        dq_blk, dk_blk, dv_blk = _ring_block_bwd(
+            q, k_cur, v_cur, o, lse, do, delta, scale, backend
+        )
         # Rotate the shard AND its gradient accumulators together so each
         # lands back home after the full ring.
         k_nxt = jax.lax.ppermute(k_cur, axis, perm)
         v_nxt = jax.lax.ppermute(v_cur, axis, perm)
         dk_nxt = jax.lax.ppermute(dk_acc + dk_blk, axis, perm)
         dv_nxt = jax.lax.ppermute(dv_acc + dv_blk, axis, perm)
-        return (k_nxt, v_nxt, dk_nxt, dv_nxt, dq_new), None
+        return (k_nxt, v_nxt, dk_nxt, dv_nxt, dq_acc + dq_blk), None
 
     dk0 = _pcast(jnp.zeros(k.shape, jnp.float32), axis)
     dv0 = _pcast(jnp.zeros(v.shape, jnp.float32), axis)
@@ -251,6 +284,140 @@ def _merge_lse(parts):
     return o_acc, lse_acc
 
 
+# --- ring schedule with replicated extra tokens: shard-level custom VJP ---
+
+
+def _ring_extra_fwd_pass(qg, kg, vg, qe, ke, ve, scale, axis, n, backend):
+    """Forward of the ring schedule WITH extra tokens. Grid queries ring
+    over grid KV then merge the (tiny) extra-KV block; extra queries merge
+    their per-shard grid partials (one all_gather) plus the extra block.
+    Returns (og fp32, lse_g, oe fp32, lse_e) — the lse's are GLOBAL
+    normalizers (grid + extra KV union)."""
+    og, lse_grid = _ring_fwd_pass(qg, kg, vg, scale, axis, n, backend)
+    o_ge, lse_ge = _block_attn_lse(qg, ke, ve, scale, backend)
+    og, lse_g = _merge_lse([(og, lse_grid), (o_ge, lse_ge)])
+    # Extra queries attend every grid shard (merged across the ring) + the
+    # extra block itself; E is tiny so each shard computes oe redundantly.
+    o_eg, lse_eg = _block_attn_lse(qe, kg, vg, scale, backend)
+    o_all = jax.lax.all_gather(o_eg, axis)       # (n, B, E, H, D)
+    lse_all = jax.lax.all_gather(lse_eg, axis)   # (n, B, H, E)
+    parts = [(o_all[i], lse_all[i]) for i in range(n)]
+    parts.append(_block_attn_lse(qe, ke, ve, scale, backend))
+    oe, lse_e = _merge_lse(parts)
+    return og, lse_g, oe, lse_e
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _ring_extra_shard(qg, kg, vg, qe, ke, ve, scale, axis, n, backend):
+    og, _, oe, _ = _ring_extra_fwd_pass(
+        qg, kg, vg, qe, ke, ve, scale, axis, n, backend
+    )
+    return og.astype(qg.dtype), oe.astype(qe.dtype)
+
+
+def _ring_extra_fwd_rule(qg, kg, vg, qe, ke, ve, scale, axis, n, backend):
+    og, lse_g, oe, lse_e = _ring_extra_fwd_pass(
+        qg, kg, vg, qe, ke, ve, scale, axis, n, backend
+    )
+    og = og.astype(qg.dtype)
+    oe = oe.astype(qe.dtype)
+    res = (qg, kg, vg, qe, ke, ve, og, lse_g, oe, lse_e)
+    return (og, oe), res
+
+
+def _ring_extra_bwd_rule(scale, axis, n, backend, res, g):
+    """Backward of the ring-with-extras schedule. Grid-vs-grid gradients
+    ride the same kernel-backed ring as _ring_bwd_rule (against the global
+    lse_g, which includes the extra KV). The extra-token interactions are
+    tiny dense blocks.
+
+    shard_map transpose semantics (verified empirically, check_vma=False):
+    the cotangent of a REPLICATED output arrives DIVIDED BY n on each
+    shard, and the cotangents this rule returns for REPLICATED inputs are
+    psum'd by shard_map afterwards. So: scale ``doe`` back to the full
+    cotangent, and return extras' grads as per-shard contributions —
+    shard-specific terms at full strength, shard-identical (extra-vs-
+    extra) terms divided by n — so the outer psum lands the exact total.
+    """
+    qg, kg, vg, qe, ke, ve, og, lse_g, oe, lse_e = res
+    dog, doe = g
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    dogf = dog.astype(jnp.float32)
+    doef = doe.astype(jnp.float32) * n  # full cotangent of the replicated oe
+    delta_g = jnp.einsum("bqhd,bqhd->bhq", dogf, og.astype(jnp.float32))
+    delta_e = jnp.einsum("bqhd,bqhd->bhq", doef, oe.astype(jnp.float32))
+
+    # 1) grid queries vs grid KV: kernel-backed ring (same as _ring_bwd_rule)
+    do_cast = dog.astype(qg.dtype)
+
+    def step(carry, _):
+        k_cur, v_cur, dk_acc, dv_acc, dq_acc = carry
+        dq_blk, dk_blk, dv_blk = _ring_block_bwd(
+            qg, k_cur, v_cur, og, lse_g, do_cast, delta_g, scale, backend
+        )
+        k_nxt = jax.lax.ppermute(k_cur, axis, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis, perm)
+        dk_nxt = jax.lax.ppermute(dk_acc + dk_blk, axis, perm)
+        dv_nxt = jax.lax.ppermute(dv_acc + dv_blk, axis, perm)
+        return (k_nxt, v_nxt, dk_nxt, dv_nxt, dq_acc + dq_blk), None
+
+    dk0 = _pcast(jnp.zeros(kg.shape, jnp.float32), axis)
+    dv0 = _pcast(jnp.zeros(vg.shape, jnp.float32), axis)
+    dq0 = _pcast(jnp.zeros(qg.shape, jnp.float32), axis)
+    (_, _, dkg, dvg, dqg), _ = jax.lax.scan(
+        step, (kg, vg, dk0, dv0, dq0), None, length=n
+    )
+
+    qgf = qg.astype(jnp.float32)
+    kef = ke.astype(jnp.float32)
+    vef = ve.astype(jnp.float32)
+    qef = qe.astype(jnp.float32)
+    kgf = kg.astype(jnp.float32)
+    vgf = vg.astype(jnp.float32)
+
+    # 2) grid queries vs extra KV (dense tiny block, (Tq/n, E)); this
+    # shard's contribution to the replicated extras — psum'd by shard_map.
+    s_ge = jnp.einsum("bqhd,bkhd->bhqk", qgf, kef) * scale
+    p_ge = jnp.exp(s_ge - lse_g[..., None])
+    dve = jnp.einsum("bhqk,bqhd->bkhd", p_ge, dogf)
+    dp_ge = jnp.einsum("bqhd,bkhd->bhqk", dogf, vef)
+    ds_ge = p_ge * (dp_ge - delta_g[..., None]) * scale
+    dke = jnp.einsum("bhqk,bqhd->bkhd", ds_ge, qgf)
+    dqg = dqg + jnp.einsum("bhqk,bkhd->bqhd", ds_ge, kef)
+
+    # 3) extra queries vs the LOCAL grid shard ((E, Tk/n) dense block)
+    s_eg = jnp.einsum("bqhd,bkhd->bhqk", qef, kgf) * scale
+    p_eg = jnp.exp(s_eg - lse_e[..., None])
+    dvg = dvg + jnp.einsum("bhqk,bqhd->bkhd", p_eg, doef)
+    dp_eg = jnp.einsum("bqhd,bkhd->bhqk", doef, vgf)
+    ds_eg = p_eg * (dp_eg - delta_e[..., None]) * scale
+    dkg = dkg + jnp.einsum("bhqk,bqhd->bkhd", ds_eg, qef)
+    dqe = jnp.einsum("bhqk,bkhd->bqhd", ds_eg, kgf)
+
+    # 4) extra queries vs extra KV: identical on every shard, so divide by
+    # n — the outer psum then restores the single true contribution.
+    s_ee = jnp.einsum("bqhd,bkhd->bhqk", qef, kef) * scale
+    p_ee = jnp.exp(s_ee - lse_e[..., None])
+    inv_n = 1.0 / n
+    dve = dve + jnp.einsum("bhqk,bqhd->bkhd", p_ee, doef) * inv_n
+    dp_ee = jnp.einsum("bqhd,bkhd->bhqk", doef, vef)
+    ds_ee = p_ee * (dp_ee - delta_e[..., None]) * scale
+    dke = dke + jnp.einsum("bhqk,bqhd->bkhd", ds_ee, qef) * inv_n
+    dqe = dqe + jnp.einsum("bhqk,bkhd->bqhd", ds_ee, kef) * inv_n
+
+    return (
+        dqg.astype(qg.dtype),
+        dkg.astype(kg.dtype),
+        dvg.astype(vg.dtype),
+        dqe.astype(qe.dtype),
+        dke.astype(ke.dtype),
+        dve.astype(ve.dtype),
+    )
+
+
+_ring_extra_shard.defvjp(_ring_extra_fwd_rule, _ring_extra_bwd_rule)
+
+
 def global_attention_cp(
     qg: jnp.ndarray,
     kg: jnp.ndarray,
@@ -272,10 +439,12 @@ def global_attention_cp(
 
     schedule:
       - "allgather": gather grid KV + concat extras; one flash call per
-        shard. Differentiable (plain collectives + sdpa).
+        shard. Differentiable (plain collectives + sdpa); O(T) KV per chip.
       - "ring": rotate grid KV around the ring, per-step Pallas flash with
-        lse merging; O(T/n) memory. Forward-only (the >200-view inference
-        path; training uses "allgather").
+        lse merging; O(T/n) memory. Differentiable: the backward rotates
+        KV again and runs the Pallas FA-2 dq / dk+dv kernels per block
+        against the saved global lse (_ring_extra_bwd_rule) — the
+        >200-view training/finetune path.
     """
     if scale is None:
         scale = qg.shape[-1] ** -0.5
@@ -319,23 +488,12 @@ def global_attention_cp(
         raise ValueError(f"unknown schedule: {schedule}")
 
     def body(qg_l, kg_l, vg_l, *extra):
-        og, lse_g = _ring_fwd_pass(qg_l, kg_l, vg_l, fscale, axis, n, backend)
-        og = og.astype(jnp.float32)
         if not has_extra:
-            return og.astype(qg_l.dtype)
+            return _ring_shard(qg_l, kg_l, vg_l, fscale, axis, n, backend)
         qe_l, ke_l, ve_l = extra
-        # Grid queries also attend the extra KV (one tiny block).
-        o_ge, lse_ge = _block_attn_lse(qg_l, ke_l, ve_l, fscale, backend)
-        og, _ = _merge_lse([(og, lse_g), (o_ge, lse_ge)])
-        # Extra queries attend every grid shard (merge across the ring) +
-        # the extra block itself.
-        o_eg, lse_eg = _block_attn_lse(qe_l, kg_l, vg_l, fscale, backend)
-        o_all = jax.lax.all_gather(o_eg, axis)       # (n, B, E, H, D)
-        lse_all = jax.lax.all_gather(lse_eg, axis)   # (n, B, H, E)
-        parts = [(o_all[i], lse_all[i]) for i in range(n)]
-        parts.append(_block_attn_lse(qe_l, ke_l, ve_l, fscale, backend))
-        oe, _ = _merge_lse(parts)
-        return og.astype(qg_l.dtype), oe.astype(qe_l.dtype)
+        return _ring_extra_shard(
+            qg_l, kg_l, vg_l, qe_l, ke_l, ve_l, fscale, axis, n, backend
+        )
 
     if has_extra:
         return shard_map(
