@@ -631,3 +631,131 @@ class TestFlagshipShapeConversion:
         )["params"]
         mismatches = verify_tree_shapes(converted, target)
         assert mismatches == [], mismatches[:10]
+
+
+# --------------------------------------------------------------------------
+# FLAGSHIP-scale numerical parity (VERDICT r2 item 1)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def flagship_pair():
+    """Reference MapAnything at FULL production shape (ViT-L/14 + 24-layer
+    dim-768 trunk + DPT-256, model.py:96,1657) with real random weights on
+    CPU, its outputs at 56 px (multimodal + images-only), and our flagship
+    model with the converted params. Proves the converter NUMERICALLY at
+    flagship dims — a same-shape parameter swap (DPT hook order at dims
+    96/192/384/768, trunk layer-pair indexing, qkv packing at dim 768)
+    changes these outputs and fails the asserts below.
+
+    The torch model (~1.3 GB) is freed after its forwards; only the numpy
+    outputs and the converted tree survive the fixture.
+    """
+    from mapanything_tpu.models.mapanything import MapAnything, MapAnythingConfig
+    from mapanything_tpu.utils.torch_convert import convert_mapanything
+
+    torch.manual_seed(0)
+    ref = make_reference_mapanything(
+        encoder_size="large",
+        info_sharing_depth=24,
+        info_sharing_dim=768,
+        info_sharing_num_heads=12,
+        info_sharing_indices=(11, 17),
+        dpt_feature_dim=256,
+        dpt_layer_dims=(96, 192, 384, 768),
+    )
+    inputs = _make_inputs(B=1, V=2, H=56, W=56, seed=3)
+    imgs, dirs, depth, quats, trans, metric = inputs
+
+    with torch.no_grad():
+        res_mm = ref(_ref_views(imgs, dirs, depth, quats, trans, metric))
+
+    gic = ref.geometric_input_config
+    old = dict(gic)
+    gic.update(overall_prob=0.0, dropout_prob=1.0, ray_dirs_prob=0.0,
+               depth_prob=0.0, cam_prob=0.0, sparse_depth_prob=0.0)
+    try:
+        with torch.no_grad():
+            res_io = ref(_ref_views(imgs))
+    finally:
+        gic.update(old)
+
+    V = imgs.shape[1]
+
+    def grab(res):
+        keys = ("ray_directions", "depth_along_ray", "cam_quats", "cam_trans",
+                "pts3d", "pts3d_cam", "conf")
+        out = {
+            k: np.stack([res[v][k].numpy() for v in range(V)], axis=1)
+            for k in keys if k in res[0]
+        }
+        out["metric_scaling_factor"] = (
+            res[0]["metric_scaling_factor"].numpy().reshape(-1)
+        )
+        return out
+
+    want_mm, want_io = grab(res_mm), grab(res_io)
+    converted = convert_mapanything(sd_np(ref))
+    del ref, res_mm, res_io
+
+    ours = MapAnything(MapAnythingConfig())  # flagship defaults
+    return ours, {"params": converted}, inputs, want_mm, want_io
+
+
+def _assert_pred_parity(preds, want):
+    np.testing.assert_allclose(
+        np.asarray(preds.ray_directions), want["ray_directions"],
+        atol=2e-4, rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(preds.depth_along_ray), want["depth_along_ray"],
+        atol=2e-3, rtol=2e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(preds.cam_quats), want["cam_quats"], atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(preds.cam_trans), want["cam_trans"], atol=2e-3, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(preds.metric_scaling_factor),
+        want["metric_scaling_factor"], atol=2e-4, rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(preds.pts3d), want["pts3d"], atol=5e-3, rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(preds.pts3d_cam), want["pts3d_cam"], atol=5e-3, rtol=2e-3
+    )
+    if "conf" in want:
+        w = want["conf"]
+        np.testing.assert_allclose(
+            np.asarray(preds.conf), w[..., 0] if w.ndim == 5 else w,
+            atol=2e-3, rtol=2e-3,
+        )
+
+
+class TestFlagshipNumericalParity:
+    def test_multimodal_forward_parity(self, flagship_pair):
+        from mapanything_tpu.models.mapanything import Views
+
+        ours, variables, inputs, want_mm, _ = flagship_pair
+        imgs, dirs, depth, quats, trans, metric = inputs
+        views = Views(
+            img=jnp.asarray(imgs),
+            ray_directions=jnp.asarray(dirs),
+            depth_along_ray=jnp.asarray(depth),
+            camera_pose_quats=jnp.asarray(quats),
+            camera_pose_trans=jnp.asarray(trans),
+            is_metric_scale=jnp.asarray(metric),
+        )
+        preds = ours.apply(variables, views)
+        _assert_pred_parity(preds, want_mm)
+
+    def test_images_only_forward_parity(self, flagship_pair):
+        from mapanything_tpu.models.mapanything import Views
+
+        ours, variables, inputs, _, want_io = flagship_pair
+        imgs = inputs[0]
+        preds = ours.apply(variables, Views(img=jnp.asarray(imgs)))
+        _assert_pred_parity(preds, want_io)
