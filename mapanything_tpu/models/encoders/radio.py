@@ -42,6 +42,11 @@ class RADIOEncoder(nn.Module):
 
     model_version: str = "radio_v2.5-l"
     patch_size: int = 16
+    # Grid of the TRAINED positional-embedding table (the parameter shape;
+    # run-time grids interpolate from it). 37 = DINOv2's 518/14 table, the
+    # layout RADIO checkpoints ship. Deriving this from the input size
+    # breaks loading converted checkpoints at non-native resolutions.
+    pos_embed_grid: int = 37
     return_layers: Optional[Sequence[int]] = None
     size_override: Optional[str] = None  # for unit-test scale
     dtype: jnp.dtype = jnp.float32
@@ -63,7 +68,7 @@ class RADIOEncoder(nn.Module):
         return ViTEncoder(
             size=size,
             patch_size=self.patch_size,
-            pos_embed_grid=max(images.shape[1], images.shape[2]) // self.patch_size,
+            pos_embed_grid=self.pos_embed_grid,
             return_layers=self.return_layers,
             dtype=self.dtype,
             name="backbone",

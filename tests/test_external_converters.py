@@ -371,3 +371,78 @@ class TestAnyCalibConverter:
 
         with pytest.raises(ValueError, match="backbone"):
             convert_anycalib({"decoder.conv.weight": np.zeros((2, 2, 3, 3))})
+
+
+class TestRADIOConverterVsVendoredTrunk:
+    """Pin convert_radio_encoder's layout assumptions (VERDICT r2 item 8).
+
+    RADIO's trunk is a DINOv2/timm-style ViT under a ``model.`` prefix
+    (reference uniception/models/encoders/radio.py:13; hub checkpoint
+    layout radio_model.model.*). Upstream RADIO isn't vendored, so the
+    closest in-env ground truth is the reference's vendored DINOv2
+    backbone carrying the identical trunk naming: prefix its state dict
+    with ``model.``, convert, and demand numeric parity of our
+    RADIOEncoder (CLIP conditioning + channels-last contract) against the
+    torch trunk fed CLIP-conditioned inputs.
+    """
+
+    def test_numeric_parity_and_prefix_routing(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo/tests")
+        from reference_shims import install_reference_path
+
+        install_reference_path()
+        from mapanything.models.external.dinov2.hub.backbones import (
+            dinov2_vits14,
+        )
+
+        from mapanything_tpu.models.encoders.radio import (
+            _CLIP_MEAN,
+            _CLIP_STD,
+            RADIOEncoder,
+        )
+        from mapanything_tpu.utils.torch_convert import convert_radio_encoder
+
+        torch.manual_seed(11)
+        trunk = dinov2_vits14(pretrained=False).eval()
+
+        # the RADIO hub layout: trunk under "model."
+        sd = {"model." + k: v.detach().numpy()
+              for k, v in trunk.state_dict().items()}
+        params = convert_radio_encoder(sd)
+        assert set(params.keys()) == {"backbone"}
+
+        ours = RADIOEncoder(
+            model_version="radio_v2.5-b", size_override="small", patch_size=14
+        )
+
+        x = np.random.RandomState(11).rand(1, 28, 42, 3).astype(np.float32)
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2).contiguous()
+        mean = torch.tensor(_CLIP_MEAN).view(1, 3, 1, 1)
+        std = torch.tensor(_CLIP_STD).view(1, 3, 1, 1)
+        with torch.no_grad():
+            feats = trunk.forward_features((xt - mean) / std)
+        want = feats["x_norm_patchtokens"].numpy().reshape(1, 2, 3, -1)
+
+        got = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+    def test_prefixless_checkpoint_also_converts(self):
+        """Some RADIO exports strip the wrapper: bare trunk keys."""
+        import sys
+
+        sys.path.insert(0, "/root/repo/tests")
+        from reference_shims import install_reference_path
+
+        install_reference_path()
+        from mapanything.models.external.dinov2.hub.backbones import (
+            dinov2_vits14,
+        )
+
+        from mapanything_tpu.utils.torch_convert import convert_radio_encoder
+
+        trunk = dinov2_vits14(pretrained=False)
+        sd = {k: v.detach().numpy() for k, v in trunk.state_dict().items()}
+        params = convert_radio_encoder(sd)
+        assert "backbone" in params and "block_0" in params["backbone"]
