@@ -226,3 +226,77 @@ class TestStage1RecipeComposition:
         )
         assert np.isfinite(float(metrics["loss"]))
         assert int(new_state.step) == 1
+
+
+def _e2e_model_and_loader(wai_fixture, num_views, images_per_batch=2):
+    """Shared tail of the raw->WAI->loader->model rehearsals."""
+    import jax
+    import jax.numpy as jnp
+
+    from mapanything_tpu.data.datasets.wai_datasets import TartanAirV2WBWAI
+    from mapanything_tpu.data.loader import MultiViewDataLoader
+    from mapanything_tpu.models.mapanything import MapAnything, MapAnythingConfig
+    from mapanything_tpu.train.loop import loss_batch_from_numpy
+    from mapanything_tpu.train.step import views_from_loss_batch
+
+    ds = TartanAirV2WBWAI(
+        split="train",
+        ROOT=str(wai_fixture["wai"]),
+        dataset_metadata_dir=str(wai_fixture["md"]),
+        num_views=num_views,
+        resolution=(518, 392),
+        covisibility_thres=0.05,
+        seed=778,
+    )
+    loader = MultiViewDataLoader(
+        ds, images_per_batch=images_per_batch, num_workers=1
+    )
+    loader.set_epoch(0)
+    cfg = MapAnythingConfig.small(
+        encoder_size="test", info_sharing_depth=2, info_sharing_dim=64,
+        info_sharing_num_heads=4, info_sharing_indices=(0, 1),
+        dpt_feature_dim=32, dpt_layer_dims=(16, 24, 32, 48),
+    )
+    model = MapAnything(cfg)
+    first = next(iter(loader))
+    batch = loss_batch_from_numpy(first)
+    views = views_from_loss_batch(batch, jnp.asarray(first["img"]))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), views)
+    return model, params, loader
+
+
+class TestCalibrationRehearsal:
+    def test_full_calibration_pipeline(self, wai_fixture, tmp_path):
+        """Raw scene -> WAI -> 518px loader -> single-view inference ->
+        ray angular error -> JSON (VERDICT r2 item 7; reference
+        benchmarking/calibration/benchmark.py:33,161,216-228)."""
+        from mapanything_tpu.benchmarking.calibration import run_benchmark
+
+        model, params, loader = _e2e_model_and_loader(wai_fixture, num_views=1)
+        results = run_benchmark(model, params, loader, max_batches=2)
+        assert "overall" in results
+        assert np.isfinite(results["overall"])
+        # random weights: any angle in (0, 180]; finite is the contract
+        assert 0.0 < results["overall"] <= 180.0
+
+        out_json = tmp_path / "calibration.json"
+        out_json.write_text(json.dumps(results, indent=1))
+        assert json.loads(out_json.read_text())["overall"] > 0
+
+
+class TestRMVDRehearsal:
+    def test_full_rmvd_pipeline(self, wai_fixture, tmp_path):
+        """Raw scene -> WAI -> 518px loader -> multi-view inference ->
+        RobustMVD keyframe depth metrics -> JSON (VERDICT r2 item 7;
+        reference benchmarking/rmvd_mvs_benchmark/benchmark.py:37)."""
+        from mapanything_tpu.benchmarking.rmvd_mvs import run_benchmark
+
+        model, params, loader = _e2e_model_and_loader(wai_fixture, num_views=2)
+        results = run_benchmark(model, params, loader, max_batches=2)
+        assert results["num_samples"] > 0
+        assert np.isfinite(results["absrel"])
+        assert 0.0 <= results["inlier103"] <= 100.0
+
+        out_json = tmp_path / "rmvd.json"
+        out_json.write_text(json.dumps(results, indent=1))
+        assert json.loads(out_json.read_text())["num_samples"] > 0
