@@ -1,0 +1,238 @@
+"""BASELINE config-3 rehearsal as ONE flow (VERDICT r2 item 6).
+
+32-view MULTI-MODAL inference (images + intrinsics + sparse depth + poses)
+-> COLMAP export round trip -> dense correspondence tracks -> Schur-CG BA
+refinement of perturbed camera estimates -> reprojection-error improvement
+-> PLY export. Every stage is the real pipeline piece used by
+``scripts/demo_colmap.py``; nothing is mocked.
+
+Reference match: ``scripts/demo_colmap.py:372-616`` (demo_fn: run model,
+predict tracks, pycolmap.bundle_adjustment at :466-485, write COLMAP
+sparse + PLY). Our BA is the JAX Schur-CG solver (ba/solver.py) instead
+of pycolmap's C++ Ceres.
+"""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from mapanything_tpu.ba.solver import ba_solve, refined_camera_poses
+from mapanything_tpu.ba.tracks import extract_tracks_from_predictions
+from mapanything_tpu.models.mapanything import MapAnything, MapAnythingConfig, Views
+from mapanything_tpu.utils import colmap as colmap_io
+from mapanything_tpu.utils.inference import infer, preprocess_inputs_for_inference
+from mapanything_tpu.utils.viz import write_ply_pointcloud
+
+V, H, W = 32, 56, 56
+
+
+def _consistent_scene():
+    """A tilted world plane z = a + b*x + c*y seen from a 32-camera arc —
+    multi-view-consistent depth/pointmaps in closed form (the geometry a
+    trained model predicts; see the stage-3 note in the flow test)."""
+    K = np.array(
+        [[W * 0.9, 0, W / 2 - 0.5], [0, W * 0.9, H / 2 - 0.5], [0, 0, 1]],
+        np.float32,
+    )
+    a, b, c = 4.0, 0.08, 0.05
+    poses = np.zeros((V, 4, 4), np.float32)
+    pts_list, depth_list = [], []
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    for v in range(V):
+        poses[v] = np.eye(4)
+        tx, ty = v * 0.05, np.sin(v * 0.4) * 0.02
+        poses[v, :3, 3] = [tx, ty, 0.0]
+        # depth of the plane along each pixel ray (identity rotation):
+        # z*(1 - b*(u-cx)/fx - c*(v-cy)/fy) = a + b*tx + c*ty
+        du = (xx - K[0, 2]) / K[0, 0]
+        dv = (yy - K[1, 2]) / K[1, 1]
+        depth = (a + b * tx + c * ty) / (1.0 - b * du - c * dv)
+        x_cam = du * depth
+        y_cam = dv * depth
+        pts_w = np.stack([x_cam + tx, y_cam + ty, depth], -1)
+        pts_list.append(pts_w.astype(np.float32))
+        depth_list.append(depth.astype(np.float32))
+    return (
+        np.stack(pts_list),
+        np.stack(depth_list),
+        np.broadcast_to(K, (V, 3, 3)).copy(),
+        poses,
+    )
+
+
+def _synthetic_multimodal_inputs(seed=0):
+    """32 views on a forward arc: images + K + sparse depth + c2w poses."""
+    rng = np.random.RandomState(seed)
+    images = rng.rand(1, V, H, W, 3).astype(np.float32)
+
+    K = np.array(
+        [[W * 0.9, 0, W / 2 - 0.5], [0, W * 0.9, H / 2 - 0.5], [0, 0, 1]],
+        np.float32,
+    )
+    intrinsics = np.broadcast_to(K, (1, V, 3, 3)).copy()
+
+    poses = np.zeros((1, V, 4, 4), np.float32)
+    for v in range(V):
+        angle = (v - V / 2) * 0.01
+        R_c2w = Rotation.from_euler("y", angle).as_matrix()
+        poses[0, v, :3, :3] = R_c2w
+        poses[0, v, :3, 3] = [v * 0.05, 0.0, np.sin(v * 0.4) * 0.02]
+        poses[0, v, 3, 3] = 1.0
+
+    # Sparse depth: ~8% of pixels carry a measurement, rest are zero
+    # (the reference's sparse-depth modality, model.py:1004-1010).
+    dense = rng.uniform(2.0, 5.0, (1, V, H, W)).astype(np.float32)
+    keep = rng.rand(1, V, H, W) < 0.08
+    sparse_depth = np.where(keep, dense, 0.0).astype(np.float32)
+    return images, intrinsics, sparse_depth, poses
+
+
+@pytest.fixture(scope="module")
+def pipeline_outputs():
+    """Stage 1: the 32-view multimodal forward, shared by all stages."""
+    images, intrinsics, sparse_depth, poses = _synthetic_multimodal_inputs()
+    cfg = MapAnythingConfig.small()
+    model = MapAnything(cfg)
+    # Init with the full multimodal Views so every modality encoder's
+    # params exist (they are config-assembled, built on first use).
+    init_views = preprocess_inputs_for_inference(
+        jnp.asarray(images),
+        intrinsics=jnp.asarray(intrinsics),
+        depth_z=jnp.asarray(sparse_depth),
+        camera_poses=jnp.asarray(poses),
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), init_views)
+    outputs = infer(
+        model,
+        params,
+        jnp.asarray(images),
+        intrinsics=jnp.asarray(intrinsics),
+        depth_z=jnp.asarray(sparse_depth),
+        camera_poses=jnp.asarray(poses),
+    )
+    return jax.block_until_ready(outputs)
+
+
+class TestConfig3Rehearsal:
+    def test_multimodal_inference_outputs(self, pipeline_outputs):
+        out = pipeline_outputs
+        assert out.pts3d.shape == (1, V, H, W, 3)
+        assert out.depth_z.shape == (1, V, H, W, 1)
+        assert out.intrinsics.shape == (1, V, 3, 3)
+        assert out.camera_poses.shape == (1, V, 4, 4)
+        for name in ("pts3d", "depth_z", "intrinsics", "camera_poses", "conf"):
+            arr = np.asarray(getattr(out, name))
+            assert np.isfinite(arr).all(), f"non-finite {name}"
+
+    def test_full_flow_colmap_ba_ply(self, pipeline_outputs, tmp_path):
+        out = pipeline_outputs
+        pts3d = np.asarray(out.pts3d[0])
+        depth_z = np.asarray(out.depth_z[0, ..., 0])
+        K = np.asarray(out.intrinsics[0])
+        poses = np.asarray(out.camera_poses[0])
+        conf = (
+            np.asarray(out.conf[0])
+            if out.conf is not None
+            else np.ones(depth_z.shape, np.float32)
+        )
+        mask = (
+            np.asarray(out.mask[0, ..., 0]).astype(bool)
+            if out.mask is not None
+            else np.ones(depth_z.shape, bool)
+        )
+        colors = np.asarray(out.img_no_norm[0])
+
+        # --- Stage 2: COLMAP export + round trip -------------------------
+        names = [f"view_{v:03d}.png" for v in range(V)]
+        cams, ims, p3d = colmap_io.predictions_to_colmap(
+            pts3d, colors, K, poses, masks=mask, image_names=names
+        )
+        sparse_dir = tmp_path / "sparse"
+        colmap_io.write_model(cams, ims, p3d, sparse_dir, ".bin")
+        cams2, ims2, p3d2 = colmap_io.read_model(sparse_dir, ".bin")
+        assert len(ims2) == V
+        assert len(p3d2) == len(p3d) and len(p3d) > 0
+        assert sorted(im.name for im in ims2.values()) == sorted(names)
+
+        # --- Stage 3: tracks from dense predictions ----------------------
+        # Same call demo_colmap.py makes. Untrained random weights have no
+        # cross-view coherence (the >=2-view depth-consistency filter
+        # rightly rejects everything), so the track/BA stages run on a
+        # geometrically CONSISTENT 32-view scene — a tilted world plane
+        # seen from the same camera arc — standing in for trained-model
+        # predictions. The timed real-chip rehearsal (docs/PERFORMANCE.md)
+        # runs the identical flow on actual flagship outputs.
+        c_pts3d, c_depth, c_K, c_poses = _consistent_scene()
+        tracks = extract_tracks_from_predictions(
+            jnp.asarray(c_pts3d),
+            jnp.asarray(c_depth),
+            jnp.asarray(c_K),
+            jnp.asarray(c_poses),
+            conf=jnp.ones((V, H, W)),
+            mask=jnp.ones((V, H, W), bool),
+            points_per_view=64,
+        )
+        valid = np.asarray(tracks.valid)
+        n_obs = int(valid.sum())
+        assert n_obs > 0, "no valid observations at 32 views"
+        assert (valid.sum(1) >= 2).sum() > 32, "too few multi-view tracks"
+        rot0 = np.asarray(tracks.cam_from_world_rot)
+        trans0 = np.asarray(tracks.cam_from_world_trans)
+
+        # --- Stage 4: BA refinement of PERTURBED camera estimates --------
+        # The reference refines noisy feed-forward estimates with Ceres BA
+        # (demo_colmap.py:466-485); here we inject a known perturbation and
+        # require the Schur-CG solver to undo it.
+        rng = np.random.RandomState(3)
+        rot_noise = np.stack(
+            [
+                Rotation.from_rotvec(rng.randn(3) * 0.004).as_matrix() @ rot0[m]
+                for m in range(V)
+            ]
+        )
+        trans_noise = trans0 + rng.randn(V, 3) * 0.01
+        perturbed = tracks.replace(
+            cam_from_world_rot=jnp.asarray(rot_noise, jnp.float32),
+            cam_from_world_trans=jnp.asarray(trans_noise, jnp.float32),
+        )
+
+        state, costs = ba_solve(perturbed, 10, 25)
+        rms_before = float(np.sqrt(costs[0] / max(n_obs, 1)))
+        rms_after = float(np.sqrt(costs[-1] / max(n_obs, 1)))
+        assert rms_after < rms_before * 0.5, (
+            f"BA did not improve reprojection: {rms_before:.3f} -> "
+            f"{rms_after:.3f} px"
+        )
+
+        # Refined relative rotations must move back toward the unperturbed
+        # feed-forward estimates (gauge-free comparison).
+        rec = np.asarray(state.rot)
+
+        def rel_err(rots):
+            errs = []
+            for m in range(1, V):
+                rel = rots[m] @ rots[0].T
+                ref = rot0[m] @ rot0[0].T
+                errs.append(Rotation.from_matrix(rel @ ref.T).magnitude())
+            return float(np.mean(errs))
+
+        assert rel_err(rec) < rel_err(rot_noise) * 0.7, (
+            rel_err(rec),
+            rel_err(rot_noise),
+        )
+
+        refined = refined_camera_poses(state)
+        assert refined.shape == (V, 4, 4)
+
+        # --- Stage 5: PLY export -----------------------------------------
+        ply = tmp_path / "points.ply"
+        write_ply_pointcloud(ply, pts3d[mask], colors[mask])
+        assert ply.stat().st_size > 0
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q", "-x"])
