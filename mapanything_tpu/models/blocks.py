@@ -61,19 +61,36 @@ class Mlp(nn.Module):
     # (see gelu_matched).
     act: Callable = gelu_matched
     drop: float = 0.0
+    # Extra checkpoint tags ("mlp_in"/"mlp_pre") emitted for the active
+    # remat policy (extra_tags_for_policy). The `name` primitives act as
+    # scheduling barriers in XLA and can MATERIALIZE the tagged tensor even
+    # when the policy discards it (measured: unconditional tags push the
+    # 4v 518 px save_attn_mlp train step from fitting to 19.1 GB OOM), so
+    # each tag exists only when the active policy saves/offloads it.
+    extra_tags: tuple = ()
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from jax.ad_checkpoint import checkpoint_name
+
+        if "mlp_in" in self.extra_tags:
+            # "mlp_in": fc1's input — saving it lets the backward compute
+            # fc1's weight grad without replaying the preceding LayerNorm
+            # chain (policy "save_qkv_attn_mlp", resolve_remat_policy).
+            x = checkpoint_name(x, "mlp_in")
         x = nn.Dense(
             self.hidden_features,
             dtype=self.dtype,
             kernel_init=default_kernel_init,
             name="fc1",
         )(x)
+        if "mlp_pre" in self.extra_tags:
+            # "mlp_pre": the PRE-activation — the GELU backward needs it;
+            # saving it (instead of only the post-act "mlp_hidden") removes
+            # the fc1 matmul from the rematerialization replay entirely.
+            x = checkpoint_name(x, "mlp_pre")
         x = self.act(x)
-        from jax.ad_checkpoint import checkpoint_name
-
         x = checkpoint_name(x, "mlp_hidden")
         if self.drop > 0.0:
             x = nn.Dropout(self.drop)(x, deterministic=deterministic)
@@ -146,6 +163,9 @@ class Attention(nn.Module):
     # allgather/ring schedules of parallel/sharded_attention.py.
     cp_global: bool = False
     cp_extra_tokens: int = 0
+    # Extra checkpoint tags ("qkv_out") for the active remat policy
+    # (see Mlp.extra_tags for why each must be conditional).
+    extra_tags: tuple = ()
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -159,6 +179,13 @@ class Attention(nn.Module):
             kernel_init=default_kernel_init,
             name="qkv",
         )(x)
+        from jax.ad_checkpoint import checkpoint_name
+
+        if "qkv_out" in self.extra_tags:
+            # "qkv_out": saving the packed qkv projection removes the qkv
+            # matmul from the backward replay; rope/qk-norm recompute from
+            # it is pure VPU work (policy "save_qkv_attn_mlp").
+            qkv = checkpoint_name(qkv, "qkv_out")
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
 
@@ -185,8 +212,6 @@ class Attention(nn.Module):
         # attention output is SAVED and everything else recomputed in the
         # backward replay (VERDICT r1 item 3: save attention outputs,
         # recompute MLPs).
-        from jax.ad_checkpoint import checkpoint_name
-
         cp = None
         if self.cp_global:
             from mapanything_tpu.parallel.cp import current_cp
@@ -311,6 +336,7 @@ class SelfAttentionBlock(nn.Module):
     layer_depth: int = 0
     cp_global: bool = False
     cp_extra_tokens: int = 0
+    extra_tags: tuple = ()  # per-policy checkpoint tags (see Mlp)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -353,6 +379,7 @@ class SelfAttentionBlock(nn.Module):
                 entropy_scaling_growth_factor=self.entropy_scaling_growth_factor,
                 cp_global=self.cp_global,
                 cp_extra_tokens=self.cp_extra_tokens,
+                extra_tags=self.extra_tags,
                 dtype=self.dtype,
                 name="attn",
             )(y, xpos, deterministic)
@@ -363,6 +390,7 @@ class SelfAttentionBlock(nn.Module):
             hidden_features=int(self.dim * self.mlp_ratio),
             out_features=self.dim,
             drop=self.proj_drop,
+            extra_tags=self.extra_tags,
             dtype=self.dtype,
             name="mlp",
         )(y, deterministic)
@@ -642,5 +670,58 @@ def resolve_remat_policy(name):
         "save_attn_mlp": jax.checkpoint_policies.save_only_these_names(
             "attn_out", "mlp_hidden"
         ),
+        # attn_out + the MLP PRE-activation: same device footprint as
+        # save_attn_mlp (5*T*C bf16/layer) but the gelu backward reads the
+        # saved pre-act directly, so the fc1 matmul (4*T*C^2, a third of a
+        # block's matmul replay) drops out of the rematerialization.
+        "save_attn_mlp_pre": jax.checkpoint_policies.save_only_these_names(
+            "attn_out", "mlp_pre"
+        ),
+        # zero-matmul replay: every matmul's input AND output inside a
+        # block is saved (qkv projection, attention out, fc1 in/pre-act),
+        # so the backward replay is pure VPU work (layernorm/gelu/rope).
+        # ~9*T*C bf16 per transformer layer — ~4.2 GB at 4v 518 px
+        # flagship; measured 20.8 GB total at that shape, so this variant
+        # needs a >24 GB part (v5p/v6e) — see the offload variants below
+        # for 16 GB chips.
+        "save_qkv_attn_mlp": jax.checkpoint_policies.save_only_these_names(
+            "qkv_out", "attn_out", "mlp_in", "mlp_pre"
+        ),
+        # save_attn_mlp_pre on device + the qkv projection offloaded to
+        # pinned host memory: kills the qkv replay too; XLA overlaps the
+        # DMA with forward compute.
+        "save_attn_mlp_pre_offload_qkv": (
+            jax.checkpoint_policies.save_and_offload_only_these_names(
+                names_which_can_be_saved=["attn_out", "mlp_pre"],
+                names_which_can_be_offloaded=["qkv_out"],
+                offload_src="device",
+                offload_dst="pinned_host",
+            )
+        ),
+        # zero-matmul replay with the largest tensor streamed to pinned
+        # host memory (frees ~2 GB HBM vs the device-save variant).
+        "save_qkv_attn_mlp_offload": (
+            jax.checkpoint_policies.save_and_offload_only_these_names(
+                names_which_can_be_saved=["qkv_out", "attn_out", "mlp_in"],
+                names_which_can_be_offloaded=["mlp_pre"],
+                offload_src="device",
+                offload_dst="pinned_host",
+            )
+        ),
         "nothing": None,
     }[name]
+
+
+# Checkpoint tags beyond the always-on "attn_out"/"mlp_hidden" that each
+# policy needs emitted (a tag on a tensor no policy saves would act as a
+# bare materialization barrier — see Mlp.extra_tags).
+_EXTRA_TAG_SETS = {
+    "save_attn_mlp_pre": ("mlp_pre",),
+    "save_attn_mlp_pre_offload_qkv": ("qkv_out", "mlp_pre"),
+    "save_qkv_attn_mlp": ("qkv_out", "mlp_in", "mlp_pre"),
+    "save_qkv_attn_mlp_offload": ("qkv_out", "mlp_in", "mlp_pre"),
+}
+
+
+def extra_tags_for_policy(name) -> tuple:
+    return _EXTRA_TAG_SETS.get(name, ())

@@ -168,6 +168,11 @@ class ViTEncoder(nn.Module):
 
         return_set = set(self.return_layers or ())
         intermediates = []
+        from mapanything_tpu.models.blocks import extra_tags_for_policy
+
+        extra_tags = (
+            extra_tags_for_policy(self.remat_policy) if self.remat else ()
+        )
         block_cls = SelfAttentionBlock
         if self.remat:
             from mapanything_tpu.models.blocks import resolve_remat_policy
@@ -183,6 +188,7 @@ class ViTEncoder(nn.Module):
                 mlp_ratio=4.0,
                 qkv_bias=True,
                 init_values=self.init_values,
+                extra_tags=extra_tags,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(x, None, deterministic)

@@ -115,6 +115,11 @@ class AlternatingAttentionTransformer(nn.Module):
 
         take = set(self.indices or ())
         intermediates = []
+        from mapanything_tpu.models.blocks import extra_tags_for_policy
+
+        extra_tags = (
+            extra_tags_for_policy(self.remat_policy) if self.remat else ()
+        )
         block_cls = SelfAttentionBlock
         if self.remat:
             from mapanything_tpu.models.blocks import resolve_remat_policy
@@ -137,6 +142,7 @@ class AlternatingAttentionTransformer(nn.Module):
                 entropy_scaling_growth_factor=self.entropy_scaling_growth_factor,
                 cp_global=self.context_parallel and depth_idx % 2 == 0,
                 cp_extra_tokens=T,
+                extra_tags=extra_tags,
                 dtype=self.dtype,
                 name=f"block_{depth_idx}",
             )

@@ -38,6 +38,10 @@ class OptimConfig:
     total_epochs: float = 100.0
     epoch_len: int = 1000  # steps per epoch (schedule granularity)
     submodules: Dict[str, SubmoduleOptimConfig] = field(default_factory=dict)
+    # dtype of Adam's first moment (None = fp32, reference parity).
+    # "bfloat16" frees 0.5x params-size HBM (~650 MB on the flagship) for
+    # activation-saving remat policies; the second moment stays fp32.
+    mu_dtype: Optional[str] = None
 
 
 def warmup_cosine_schedule(cfg: OptimConfig):
@@ -96,7 +100,9 @@ def build_optimizer(cfg: OptimConfig, params) -> optax.GradientTransformation:
 
     chain = [
         optax.clip_by_global_norm(cfg.grad_clip_norm),
-        optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1]),
+        optax.scale_by_adam(
+            b1=cfg.betas[0], b2=cfg.betas[1], mu_dtype=cfg.mu_dtype
+        ),
         optax.add_decayed_weights(cfg.weight_decay, mask=wd_mask),
     ]
     if cfg.submodules:

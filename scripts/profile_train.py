@@ -22,7 +22,9 @@ def main():
     ap.add_argument("--views", type=int, default=4)
     ap.add_argument("--res", type=int, default=518)
     ap.add_argument("--no-remat", action="store_true")
-    _POLICIES = ["dots", "dots_saveable", "save_attn", "save_attn_mlp"]
+    _POLICIES = ["dots", "dots_saveable", "save_attn", "save_attn_mlp",
+                 "save_attn_mlp_pre", "save_attn_mlp_pre_offload_qkv",
+                 "save_qkv_attn_mlp", "save_qkv_attn_mlp_offload"]
     ap.add_argument("--remat-policy", default=None, choices=_POLICIES,
                     help="global remat save policy (default: save nothing)")
     ap.add_argument("--encoder-remat-policy", default=None,
@@ -38,6 +40,21 @@ def main():
     ap.add_argument("--head-dtype", default="float32")
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--phases", default="fwd,bwd,full")
+    ap.add_argument("--mu-dtype", default=None,
+                    choices=["bfloat16", "float32"],
+                    help="Adam first-moment dtype (bfloat16 frees ~650 MB "
+                         "HBM on the flagship)")
+    ap.add_argument("--unroll", type=int, default=0,
+                    help="time the full phase as N train steps UNROLLED "
+                         "in one jit (no scan carry, no per-call "
+                         "dispatch); the most faithful amortized number")
+    ap.add_argument("--no-scan", action="store_true",
+                    help="time the full phase as sequential train_step "
+                         "calls (distinct inputs + final fetch) instead of "
+                         "a lax.scan program — the scan carry forces the "
+                         "compiler to keep TWO copies of params+opt state "
+                         "alive (observed +3.3 GB -> OOM), which the "
+                         "production loop (donated single step) never does")
     args = ap.parse_args()
 
     import jax
@@ -96,7 +113,11 @@ def main():
     )
     views = views_from_loss_batch(batch, img)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), views)["params"]
-    opt_cfg = OptimConfig(epoch_len=100, total_epochs=1.0)
+    # lr tiny: N real AdamW steps at production lr from a random init sends
+    # the loss to NaN around step ~7, tripping the finiteness asserts; the
+    # program structure (and so the timing) is identical at any lr.
+    opt_cfg = OptimConfig(lr=1e-7, min_lr=1e-8, epoch_len=100,
+                          total_epochs=1.0, mu_dtype=args.mu_dtype)
     optimizer = build_optimizer(opt_cfg, params)
     state = TrainState(
         params=params, opt_state=optimizer.init(params),
@@ -153,6 +174,62 @@ def main():
         timed("forward+grad", bwd, (params, img))
 
     if "full" not in phases:
+        return
+    if args.unroll:
+        # N train steps UNROLLED inside one jit: no scan carry (whose
+        # buffer aliasing the compiler breaks with copies around pallas
+        # custom-calls -> +3.9 GB OOM) and no per-call dispatch overhead
+        # (the donated per-call loop serializes on the tunnel). Python-
+        # level unrolling lets XLA reuse buffers by liveness alone.
+        N = args.unroll
+        train_step_inner = make_train_step(
+            model, optimizer, loss_cfg, donate=False
+        )
+
+        def _unrolled(state, img0):
+            losses = []
+            r = jax.random.PRNGKey(0)
+            for i in range(N):
+                st2, metrics = train_step_inner(
+                    state, img0 + jnp.float32(i) * 1e-4, batch, r
+                )
+                r, _ = jax.random.split(r)
+                state = st2
+                losses.append(metrics["loss"])
+            return state, jnp.stack(losses)
+
+        # donate the incoming state so only ONE params+opt copy is live.
+        unrolled = jax.jit(_unrolled, donate_argnums=(0,))
+        state, losses = unrolled(state, img)
+        jax.block_until_ready(losses)
+        t0 = time.perf_counter()
+        state2, losses = unrolled(state, img)
+        final = float(losses[-1]) + float(
+            jnp.sum(state2.params["scale_token"].astype(jnp.float32))
+        )
+        dt = (time.perf_counter() - t0) / N
+        assert np.isfinite(final)
+        print(f"{'full step':>16}: {dt*1e3:8.1f} ms/iter  "
+              f"({B*V/dt:.2f} views/s)  [unroll={N}]")
+        return
+    if args.no_scan:
+        # Production-shaped measurement: one donated train step per call,
+        # distinct inputs, final loss fetch drains the queue.
+        train_step = make_train_step(model, optimizer, loss_cfg, donate=True)
+        state, metrics = train_step(state, img, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+        t0 = time.perf_counter()
+        last = None
+        for i in range(REPS):
+            state, metrics = train_step(
+                state, img + jnp.float32(i + 1) * 1e-4, batch,
+                jax.random.PRNGKey(i),
+            )
+            last = metrics["loss"]
+        assert np.isfinite(float(last))
+        dt = (time.perf_counter() - t0) / REPS
+        print(f"{'full step':>16}: {dt*1e3:8.1f} ms/iter  "
+              f"({B*V/dt:.2f} views/s)  [no-scan, donated]")
         return
     train_step = make_train_step(model, optimizer, loss_cfg, donate=False)
 

@@ -72,6 +72,16 @@ def main():
         dpt_layer_dims=tuple(mcfg["pred_head"]["dpt_layer_dims"]),
         scene_rep_type=mcfg["pred_head"]["scene_rep_type"],
         compute_dtype=mcfg.get("compute_dtype", "bfloat16"),
+        # Activation rematerialization (the reference recipe trains 518 px
+        # with grad checkpointing on the encoder; bash .sh stage scripts).
+        # Override from the CLI: --override model.remat=true
+        # model.remat_policy=save_qkv_attn_mlp (see resolve_remat_policy).
+        remat=bool(mcfg.get("remat", tp.get("grad_checkpointing", False))),
+        remat_policy=mcfg.get("remat_policy", tp.get("remat_policy")),
+        encoder_remat=mcfg.get("encoder_remat"),
+        trunk_remat=mcfg.get("trunk_remat"),
+        encoder_remat_policy=mcfg.get("encoder_remat_policy"),
+        trunk_remat_policy=mcfg.get("trunk_remat_policy"),
     )
     model = MapAnything(model_cfg)
     geo_cfg = GeometricInputConfig(**{
