@@ -173,6 +173,25 @@ def main():
         bwd = scanned(gradsum)
         timed("forward+grad", bwd, (params, img))
 
+    if "opt" in phases:
+        # Optimizer update alone (clip + adam + wd + lr + apply), donated.
+        import optax
+
+        def opt_step(params, opt_state, grads):
+            updates, new_opt = optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_opt
+
+        opt_jit = jax.jit(opt_step, donate_argnums=(0, 1))
+        grads = jax.tree.map(jnp.ones_like, state.params)
+        p, o = opt_jit(state.params, state.opt_state, grads)
+        jax.block_until_ready(p)
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            p, o = opt_jit(p, o, grads)
+        jax.block_until_ready(jax.tree.leaves(p)[0])
+        dt = (time.perf_counter() - t0) / REPS
+        print(f"{'optimizer':>16}: {dt*1e3:8.1f} ms/iter")
+
     if "full" not in phases:
         return
     if args.unroll:
