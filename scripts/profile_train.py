@@ -183,7 +183,13 @@ def main():
 
         opt_jit = jax.jit(opt_step, donate_argnums=(0, 1))
         grads = jax.tree.map(jnp.ones_like, state.params)
-        p, o = opt_jit(state.params, state.opt_state, grads)
+        # Donate COPIES: state.params/opt_state must stay alive for any
+        # later phase in the --phases list (e.g. --phases opt,full).
+        p, o = opt_jit(
+            jax.tree.map(jnp.copy, state.params),
+            jax.tree.map(jnp.copy, state.opt_state),
+            grads,
+        )
         jax.block_until_ready(p)
         t0 = time.perf_counter()
         for _ in range(REPS):

@@ -95,6 +95,39 @@ def test_backward_padded_lengths():
         )
 
 
+def test_backward_bf16_within_half_precision_roundoff():
+    """bf16 flash backward (the trunk's training configuration: bf16
+    inputs, fp32 kernel accumulation) vs exact fp32 grads — VERDICT r3
+    item 3's tolerance check. The acceptance bar is XLA's own bf16
+    attention backward against the same fp32 reference: the kernel must
+    not be (materially) less accurate than the bf16 format itself.
+    """
+    q, k, v = make_qkv(tq=300, tk=300)
+    scale = 0.125
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, scale, interpret=True)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_ref(q, k, v):
+        o = reference_sdpa(q, k, v, scale)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    g_exact = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_flash16 = jax.grad(loss_flash, argnums=(0, 1, 2))(qb, kb, vb)
+    g_xla16 = jax.grad(loss_ref, argnums=(0, 1, 2))(qb, kb, vb)
+
+    for gf, gx, ge, name in zip(g_flash16, g_xla16, g_exact, "qkv"):
+        err_flash = float(jnp.max(jnp.abs(gf.astype(jnp.float32) - ge)))
+        err_xla = float(jnp.max(jnp.abs(gx.astype(jnp.float32) - ge)))
+        scale_mag = float(jnp.max(jnp.abs(ge)))
+        assert err_flash <= max(2.0 * err_xla, 1e-2 * scale_mag), (
+            f"d{name}: bf16 flash bwd err {err_flash:.3e} vs "
+            f"bf16 XLA bwd err {err_xla:.3e} (|g|max {scale_mag:.3e})"
+        )
+
+
 class TestDispatch:
     """Invariants of the kernel dispatcher (packed / 3D / streaming)."""
 
