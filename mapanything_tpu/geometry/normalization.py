@@ -11,6 +11,24 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def safe_norm(x: jnp.ndarray, axis=-1, keepdims: bool = False) -> jnp.ndarray:
+    """L2 norm whose gradient at exactly 0 is 0 instead of NaN.
+
+    ``jnp.linalg.norm`` backpropagates x/||x|| = 0/0 = NaN at the origin;
+    torch returns the 0 subgradient there, so the reference never NaNs on
+    an all-zero pixel. This matters in practice: a depth logit below ~-87
+    underflows exp to exactly 0.0, the pointmap pixel becomes the zero
+    vector, and one such pixel turns the ENTIRE gradient to NaN through
+    the joint normalization — observed on-chip at lr=1e-4 from random
+    init (docs/PERFORMANCE.md "Production-lr stability"). The double-
+    ``where`` keeps the forward bit-exact and kills the NaN cotangent.
+    """
+    sq = jnp.sum(x * x, axis=axis, keepdims=keepdims)
+    zero = sq == 0
+    root = jnp.sqrt(jnp.where(zero, 1.0, sq))
+    return jnp.where(zero, 0.0, root)
+
+
 def normalize_depth_using_non_zero_pixels(
     depth: jnp.ndarray, return_norm_factor: bool = False
 ):
@@ -44,7 +62,7 @@ def normalize_pose_translations(
 
     Parity: reference geometry.py:1629.
     """
-    dist = jnp.linalg.norm(pose_translations, axis=-1)  # (B, V)
+    dist = safe_norm(pose_translations, axis=-1)  # (B, V)
     nonzero = dist > 0
     norm_factor = jnp.sum(dist, axis=1) / (jnp.sum(nonzero, axis=1) + 1e-8)
     norm_factor = jnp.maximum(norm_factor, 1e-8)
@@ -82,7 +100,7 @@ def normalize_pointcloud(
     pts_z = jnp.where(valid_mask[..., None], pts, 0.0)
 
     reduce_axes = tuple(range(1, pts.ndim - 1))
-    dis = jnp.linalg.norm(pts_z, axis=-1)  # (B, ...)
+    dis = safe_norm(pts_z, axis=-1)  # (B, ...)
 
     if dis_mode == "dis":
         pass
@@ -114,5 +132,5 @@ def apply_log_to_norm(x: jnp.ndarray) -> jnp.ndarray:
     Parity: ``apply_log_to_norm`` (reference geometry.py:1737). Used to
     log-compress pointmaps/depths before regression losses.
     """
-    d = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    d = safe_norm(x, axis=-1, keepdims=True)
     return x / jnp.maximum(d, 1e-8) * jnp.log1p(d)

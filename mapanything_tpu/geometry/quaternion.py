@@ -13,10 +13,13 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from mapanything_tpu.geometry.normalization import safe_norm
+
 
 def quat_normalize(quat: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     """Normalize quaternions to unit norm. (..., 4) -> (..., 4)."""
-    norm = jnp.linalg.norm(quat, axis=-1, keepdims=True)
+    # safe_norm: NaN-free gradient if a predicted quat is exactly 0
+    norm = safe_norm(quat, axis=-1, keepdims=True)
     return quat / jnp.maximum(norm, eps)
 
 

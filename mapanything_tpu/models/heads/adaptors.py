@@ -21,6 +21,8 @@ from typing import Optional, Sequence, Tuple
 import flax.struct
 import jax.numpy as jnp
 
+from mapanything_tpu.geometry.normalization import safe_norm
+
 INF = float("inf")
 
 
@@ -60,7 +62,7 @@ def adapt_pointmap(x, cfg: RangeConfig):
     if cfg.mode == "linear":
         out = x
     elif cfg.mode in ("square", "exp"):
-        d = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        d = safe_norm(x, axis=-1, keepdims=True)
         unit = x / jnp.maximum(d, 1e-8)
         out = unit * (jnp.square(d) if cfg.mode == "square" else jnp.expm1(d))
     elif cfg.mode == "z_exp":
@@ -77,7 +79,7 @@ def adapt_cam_translation(x, cfg: RangeConfig):
     if cfg.mode == "linear":
         out = x
     elif cfg.mode in ("square", "exp"):
-        d = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        d = safe_norm(x, axis=-1, keepdims=True)
         unit = x / jnp.maximum(d, 1e-8)
         out = unit * (jnp.square(d) if cfg.mode == "square" else jnp.expm1(d))
     else:
@@ -105,7 +107,7 @@ def adapt_ray_directions(x, cfg: RayDirsConfig):
             [out[..., :2], jnp.maximum(out[..., 2:3], cfg.z_dir_min)], axis=-1
         )
     if cfg.normalize_to_unit_sphere:
-        norm = jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-8)
+        norm = jnp.maximum(safe_norm(out, axis=-1, keepdims=True), 1e-8)
         out = out / norm
     elif cfg.normalize_to_unit_image_plane:
         out = out / out[..., 2:3]
@@ -125,7 +127,7 @@ def adapt_quaternions(x, cfg: QuatsConfig):
     assert cfg.mode == "linear"
     out = _clip(x, cfg.vmin, cfg.vmax)
     if cfg.normalize:
-        out = out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-8)
+        out = out / jnp.maximum(safe_norm(out, axis=-1, keepdims=True), 1e-8)
     return out
 
 

@@ -40,6 +40,7 @@ from mapanything_tpu.geometry.normalization import (
     normalize_pose_translations,
 )
 from mapanything_tpu.geometry.quaternion import relative_pose_quats_trans
+from mapanything_tpu.geometry.normalization import safe_norm
 from mapanything_tpu.models.encoders.dense_rep import (
     DenseRepresentationEncoder,
     GlobalRepresentationEncoder,
@@ -734,7 +735,7 @@ def assemble_scene_representation(
         )
     elif rep == "campointmap+pose":
         pts3d_cam = comp("pointmap")
-        depth = jnp.linalg.norm(pts3d_cam, axis=-1, keepdims=True)
+        depth = safe_norm(pts3d_cam, axis=-1, keepdims=True)
         dirs = pts3d_cam / jnp.maximum(depth, 1e-12)
         pts3d = pointmap_from_rays_depth_pose(dirs, depth, cam_trans, cam_quats)
         preds = Predictions(

@@ -40,6 +40,7 @@ import jax.numpy as jnp
 from mapanything_tpu.geometry.normalization import (
     apply_log_to_norm,
     normalize_pointcloud,
+    safe_norm,
 )
 from mapanything_tpu.geometry.quaternion import (
     quat_inverse,
@@ -144,7 +145,7 @@ def _smooth_l1_angle(err: jnp.ndarray, beta: float) -> jnp.ndarray:
 
 
 def _angle_diff(v1, v2, eps=1e-12):
-    cross = jnp.linalg.norm(jnp.cross(v1, v2), axis=-1)
+    cross = safe_norm(jnp.cross(v1, v2), axis=-1)
     dot = jnp.sum(v1 * v2, axis=-1)
     return jnp.arctan2(cross, dot + eps)
 
@@ -271,7 +272,7 @@ def factored_geometry_scale_loss(
     elif cfg.criterion == "l1":
         crit = lambda a, b: jnp.sum(jnp.abs(a - b), axis=-1)
     elif cfg.criterion == "l2":
-        crit = lambda a, b: jnp.linalg.norm(a - b, axis=-1)
+        crit = lambda a, b: safe_norm(a - b, axis=-1)
     else:
         raise ValueError(f"unknown criterion {cfg.criterion}")
 
@@ -495,7 +496,7 @@ def disentangled_factored_geometry_scale_loss(
     elif cfg.criterion == "l1":
         crit = lambda a, b: jnp.sum(jnp.abs(a - b), axis=-1)
     else:
-        crit = lambda a, b: jnp.linalg.norm(a - b, axis=-1)
+        crit = lambda a, b: safe_norm(a - b, axis=-1)
     valid = batch.valid_mask
 
     # GT factors in the view-0 frame.
@@ -593,7 +594,7 @@ def l1_distance(a, b):
 
 def l2_distance(a, b):
     """L2Loss distance (losses.py:340): euclidean norm over channels."""
-    return jnp.linalg.norm(a - b, axis=-1)
+    return safe_norm(a - b, axis=-1)
 
 
 def dust3r_regr3d_conf_loss(

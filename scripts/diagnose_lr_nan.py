@@ -114,6 +114,77 @@ def main():
         new_state, metrics = base_step(state, img_in, batch_in, r)
         return new_state, metrics
 
+    # Forensic companion program: same loss, same grads, but reports
+    # per-top-level-subtree grad norms + prediction-magnitude probes so
+    # the first NaN can be localized to a head/path (run on the state
+    # BEFORE each update; ~1 extra fwd+bwd per step).
+    from mapanything_tpu.train.losses import factored_geometry_scale_loss
+    from mapanything_tpu.train.losses import LossConfig
+
+    loss_cfg = LossConfig()
+
+    from mapanything_tpu.models.mapanything import (
+        GeometricInputConfig,
+        sample_modality_masks,
+    )
+
+    geo_cfg = GeometricInputConfig()
+
+    @jax.jit
+    def forensic(params, img_in, batch_in, r):
+        # Mirror make_train_step's stochastic forward exactly (same rng
+        # splits -> same modality masks / PE indices as the real step).
+        B, V = batch_in.valid_mask.shape[:2]
+        H_, W_ = batch_in.valid_mask.shape[2:]
+        rng_masks, rng_pe = jax.random.split(r)
+        masks = sample_modality_masks(rng_masks, B, V, (H_, W_), geo_cfg)
+        pe_indices = None
+        if (
+            model.config.use_pe_for_non_reference_views
+            and model.config.use_rand_idx_pe_for_non_reference_views
+            and V > 1
+        ):
+            pe_indices = jax.random.randint(
+                rng_pe, (V - 1,), 1, model.config.max_num_views_for_pe
+            )
+
+        def loss_fn(p):
+            v = views_from_loss_batch(batch_in, img_in)
+            preds = model.apply(
+                {"params": p}, v, masks, deterministic=True,
+                non_ref_view_pe_indices=pe_indices,
+            )
+            loss, _ = factored_geometry_scale_loss(batch_in, preds, loss_cfg)
+            return loss * 2.0 / batch_in.valid_mask.shape[1], preds
+
+        (loss, preds), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+        # Where is the NaN born? Differentiate the LOSS ALONE wrt the
+        # predictions: if these cotangents are already non-finite, the
+        # loss backward is the source; if they are finite while the param
+        # grads are NaN, the model backward is.
+        def loss_of_preds(pr):
+            loss2, _ = factored_geometry_scale_loss(batch_in, pr, loss_cfg)
+            return loss2 * 2.0 / batch_in.valid_mask.shape[1]
+
+        dpreds = jax.grad(loss_of_preds, allow_int=True)(preds)
+        out = {}
+        for name in ("depth_along_ray", "conf", "metric_scaling_factor",
+                     "pts3d_cam", "pts3d", "cam_trans"):
+            val = getattr(dpreds, name, None)
+            if val is not None:
+                out[f"dL/d{name}"] = jnp.max(jnp.abs(val.astype(jnp.float32)))
+        for key, sub in grads.items():
+            sq = sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                     for x in jax.tree.leaves(sub))
+            out[f"g/{key}"] = jnp.sqrt(sq)
+        for name in ("depth_along_ray", "conf", "metric_scaling_factor",
+                     "pts3d_cam", "cam_trans"):
+            val = getattr(preds, name, None)
+            if val is not None:
+                out[f"max|{name}|"] = jnp.max(jnp.abs(val.astype(jnp.float32)))
+        return out
+
     # Extra norm probes computed in separate small jits (cheap next to the
     # step): max |param| and the norm of the scale/conf-sensitive heads.
     @jax.jit
@@ -127,6 +198,9 @@ def main():
 
     term_keys = None
     for i in range(args.steps):
+        fz = {k: float(v) for k, v in forensic(
+            state.params, img + jnp.float32(i) * 1e-4, batch,
+            jax.random.PRNGKey(i)).items()}
         state, metrics = step_with_norms(
             state, img + jnp.float32(i) * 1e-4, batch, jax.random.PRNGKey(i)
         )
@@ -143,6 +217,8 @@ def main():
             + f"  {float(pn):12.4e}  {float(pmax):10.4e}",
             flush=True,
         )
+        print("      forensic: " + "  ".join(
+            f"{k}={v:.3e}" for k, v in sorted(fz.items())), flush=True)
         if not np.isfinite(m.get("loss", np.nan)):
             print(f"loss went non-finite at step {i}", flush=True)
             break

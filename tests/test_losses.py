@@ -288,3 +288,62 @@ class TestDisentangledLoss:
             batch, preds, LossConfig(criterion="l1", disentangled=True)
         )
         assert "pose_trans_loss" in details and float(total) >= 0
+
+
+class TestZeroPixelGradients:
+    """A single all-zero predicted pixel must not NaN the gradient.
+
+    On-chip forensics (round 4, lr=1e-4 from random init): a depth logit
+    below ~-87 underflows the exp adaptor to exactly 0.0; the zero pointmap
+    pixel then NaNs dL/dpts3d through jnp.linalg.norm's 0/0 backward in the
+    joint normalization while the LOSS VALUE stays finite, and the next
+    update NaNs every parameter. torch's norm returns the 0 subgradient, so
+    the reference never hits this — safe_norm restores that semantics.
+    """
+
+    def _grads(self, zero_pixel, huge_pixel=False):
+        import jax
+
+        batch, preds = perfect_batch_and_preds(B=1, V=2)
+        preds = preds.replace(
+            conf=jnp.full(batch.valid_mask.shape, 2.0),
+            non_ambiguous_mask_logits=jnp.full(batch.valid_mask.shape, 4.0),
+        )
+        depth = np.asarray(preds.depth_along_ray).copy()
+        if zero_pixel:
+            depth[0, 0, 1, 1, 0] = 0.0
+        if huge_pixel:
+            depth[0, 1, 2, 2, 0] = 3.7e8
+
+        def loss_of(d):
+            pts_cam = preds.ray_directions * d
+            p = preds.replace(depth_along_ray=d, pts3d_cam=pts_cam,
+                              pts3d=pts_cam + 0.1)
+            total, _ = factored_geometry_scale_loss(batch, p, LossConfig())
+            return total
+
+        val = float(loss_of(jnp.asarray(depth)))
+        g = jax.grad(loss_of)(jnp.asarray(depth))
+        return val, g
+
+    def test_zero_depth_pixel_finite_grads(self):
+        val, g = self._grads(zero_pixel=True)
+        assert np.isfinite(val)
+        assert bool(jnp.all(jnp.isfinite(g))), "NaN grads from a zero pixel"
+
+    def test_zero_and_huge_depth_finite_grads(self):
+        val, g = self._grads(zero_pixel=True, huge_pixel=True)
+        assert np.isfinite(val)
+        assert bool(jnp.all(jnp.isfinite(g)))
+
+    def test_safe_norm_forward_matches_linalg(self):
+        from mapanything_tpu.geometry.normalization import safe_norm
+
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(64, 3).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(safe_norm(x, axis=-1)),
+            np.asarray(jnp.linalg.norm(x, axis=-1)),
+            rtol=1e-6,
+        )
+        assert float(safe_norm(jnp.zeros((4, 3)))[0]) == 0.0
