@@ -140,3 +140,34 @@ class TestFlagshipViewSharded:
             # 24 fp32 layers of resharded accumulation: looser bound.
             assert_preds_close(got, want, atol=5e-4)
             return
+
+
+class TestManyViewContextParallel:
+    """>100-view regime through the actual ring schedule (SURVEY §2.5's
+    SP/CP row: past ~200 views at 518 px the designed path is view-axis
+    context parallelism; reference counterpart is the memory-efficient
+    inference loop, model.py:1440-1618). 128 views at test scale on the
+    8-device mesh (16 views per device) — validates that the ring
+    softmax-merge is exact at deep view counts, not just at V=8."""
+
+    def test_128_view_ring_cp_matches_unsharded(self):
+        mesh = make_mesh(jax.devices()[:8], view_parallelism=8)
+        cfg = MapAnythingConfig.small(
+            encoder_size="test",
+            info_sharing_depth=2,
+            info_sharing_dim=64,
+            info_sharing_num_heads=4,
+            info_sharing_indices=(0, 1),
+            dpt_feature_dim=32,
+            dpt_layer_dims=(16, 24, 32, 48),
+        )
+        model = MapAnything(cfg)
+        cp_model = MapAnything(cfg.with_updates(context_parallel_trunk=True))
+
+        views = make_views(1, 128, 28, 28, seed=11)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), views)
+        want = jax.jit(model.apply)(params, views)
+        sharded = shard_views(views, mesh)
+        with context_parallel_attention(mesh, schedule="ring"):
+            got = jax.jit(cp_model.apply)(params, sharded)
+        assert_preds_close(got, want, atol=5e-4)
