@@ -155,7 +155,8 @@ def train_bench(model_cls, cfg_cls, on_tpu):
     scheduling; both verified on the chip), plus the donated AdamW update
     timed alone, summed. The production loop (donated single step per
     batch) has exactly these two costs and no others on local-host TPU;
-    only the axon tunnel's per-call dispatch (~150 ms) is excluded.
+    only the axon tunnel's fixed dispatch is excluded (~8 ms per scanned
+    call, amortized by reps; ~150 ms for blocking per-call loops).
     """
     import jax
     import jax.numpy as jnp
