@@ -44,6 +44,15 @@ def main():
                     choices=["bfloat16", "float32"],
                     help="Adam first-moment dtype (bfloat16 frees ~650 MB "
                          "HBM on the flagship)")
+    ap.add_argument("--nu-dtype", default=None,
+                    choices=["bfloat16", "float32"],
+                    help="Adam second-moment dtype (bfloat16 frees another "
+                         "~850 MB; see train/optim.py precision note)")
+    ap.add_argument("--no-opt-state", action="store_true",
+                    help="skip building optimizer state (fwd/bwd phases "
+                         "only): measures the backward on a pristine chip "
+                         "with no optimizer buffers resident — NOT the "
+                         "production-resident set; for OOM probes")
     ap.add_argument("--unroll", type=int, default=0,
                     help="time the full phase as N train steps UNROLLED "
                          "in one jit (no scan carry, no per-call "
@@ -117,12 +126,19 @@ def main():
     # the loss to NaN around step ~7, tripping the finiteness asserts; the
     # program structure (and so the timing) is identical at any lr.
     opt_cfg = OptimConfig(lr=1e-7, min_lr=1e-8, epoch_len=100,
-                          total_epochs=1.0, mu_dtype=args.mu_dtype)
+                          total_epochs=1.0, mu_dtype=args.mu_dtype,
+                          nu_dtype=args.nu_dtype)
     optimizer = build_optimizer(opt_cfg, params)
-    state = TrainState(
-        params=params, opt_state=optimizer.init(params),
-        step=jnp.zeros((), jnp.int32),
-    )
+    if args.no_opt_state:
+        assert not ({"opt", "full"} & set(args.phases.split(","))), (
+            "--no-opt-state only valid for fwd/bwd phases"
+        )
+        state = None
+    else:
+        state = TrainState(
+            params=params, opt_state=optimizer.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
     loss_cfg = LossConfig()
 
     def loss_fn(params, img_in):

@@ -222,3 +222,86 @@ def test_accum_groups_sharded_on_mesh(tiny_setup, tmp_path):
     with mesh:
         stats = trainer.train_one_epoch(0)
     assert np.isfinite(stats["train_loss"])
+
+
+class TestAdamDtypes:
+    """scale_by_adam_dtypes: optax parity in fp32; bounded error with
+    bf16-quantized moment STORAGE (the 16 GB-edge memory knob)."""
+
+    def _grads_params(self, seed=0):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        params = {
+            "w": jnp.asarray(rng.randn(16, 8).astype(np.float32)),
+            "b": jnp.asarray(rng.randn(8).astype(np.float32)),
+        }
+        grads = [
+            {
+                "w": jnp.asarray(rng.randn(16, 8).astype(np.float32)),
+                "b": jnp.asarray(rng.randn(8).astype(np.float32)),
+            }
+            for _ in range(5)
+        ]
+        return params, grads
+
+    def test_fp32_matches_optax(self):
+        import numpy as np
+        import optax
+
+        from mapanything_tpu.train.optim import scale_by_adam_dtypes
+
+        params, grads = self._grads_params()
+        ref = optax.scale_by_adam(b1=0.9, b2=0.95)
+        got = scale_by_adam_dtypes(b1=0.9, b2=0.95)
+        s_ref, s_got = ref.init(params), got.init(params)
+        for g in grads:
+            u_ref, s_ref = ref.update(g, s_ref)
+            u_got, s_got = got.update(g, s_got)
+        for k in params:
+            np.testing.assert_allclose(
+                np.asarray(u_got[k]), np.asarray(u_ref[k]),
+                rtol=1e-5, atol=1e-6, err_msg=k,
+            )
+
+    def test_bf16_moments_bounded_error(self):
+        import numpy as np
+        import optax
+
+        from mapanything_tpu.train.optim import scale_by_adam_dtypes
+
+        params, grads = self._grads_params(seed=1)
+        ref = optax.scale_by_adam(b1=0.9, b2=0.95)
+        got = scale_by_adam_dtypes(
+            b1=0.9, b2=0.95, mu_dtype="bfloat16", nu_dtype="bfloat16"
+        )
+        s_ref, s_got = ref.init(params), got.init(params)
+        for g in grads:
+            u_ref, s_ref = ref.update(g, s_ref)
+            u_got, s_got = got.update(g, s_got)
+        assert s_got.nu["w"].dtype == jnp.bfloat16
+        for k in params:
+            a, b = np.asarray(u_got[k], np.float32), np.asarray(u_ref[k])
+            # bf16 storage: ~2^-9 relative mantissa error through the
+            # sqrt; allow 2% relative on the update direction.
+            np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2, err_msg=k)
+
+    def test_build_optimizer_nu_dtype_trains(self):
+        import numpy as np
+        import optax
+
+        from mapanything_tpu.train.optim import OptimConfig, build_optimizer
+
+        params = {"w": jnp.ones((4, 4))}
+        opt = build_optimizer(
+            OptimConfig(lr=1e-2, epoch_len=10, total_epochs=1.0,
+                        mu_dtype="bfloat16", nu_dtype="bfloat16"),
+            params,
+        )
+        state = opt.init(params)
+        g = {"w": jnp.ones((4, 4))}
+        for _ in range(3):
+            updates, state = opt.update(g, state, params)
+            params = optax.apply_updates(params, updates)
+        assert bool(jnp.all(jnp.isfinite(params["w"])))
+        assert float(jnp.max(params["w"])) < 1.0  # moved downhill
