@@ -25,6 +25,51 @@ import jax.numpy as jnp
 
 from mapanything_tpu.models.blocks import SelfAttentionBlock
 
+
+class _ViTBlockBody(nn.Module):
+    """One encoder block as an ``nn.scan`` body (``scan_blocks``).
+
+    All blocks of the ViT are identical, so scanning them keeps one
+    block's HLO in the program instead of ``depth`` unrolled copies —
+    the compile-time cut that makes the driver's virtual-CPU flagship
+    dryrun fit its clock. Numerics identical to the unrolled loop
+    (tests/test_scan_layers.py); ``models.scan_repack`` converts the
+    parameter layouts both ways.
+    """
+
+    dim: int
+    num_heads: int
+    init_values: float
+    deterministic: bool
+    remat: bool
+    remat_policy: Optional[str]
+    extra_tags: tuple
+    emit_layers: bool
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, _):
+        from mapanything_tpu.models.blocks import resolve_remat_policy
+
+        block_cls = SelfAttentionBlock
+        if self.remat:
+            block_cls = nn.remat(
+                SelfAttentionBlock, static_argnums=(2,),
+                policy=resolve_remat_policy(self.remat_policy),
+            )
+        x = block_cls(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            mlp_ratio=4.0,
+            qkv_bias=True,
+            init_values=self.init_values,
+            extra_tags=self.extra_tags,
+            dtype=self.dtype,
+            name="block",
+        )(x, None, self.deterministic)
+        return x, (x if self.emit_layers else None)
+
+
 VIT_SIZES = {
     # name: (embed_dim, depth, num_heads)
     "test": (64, 4, 4),  # unit-test scale
@@ -111,6 +156,11 @@ class ViTEncoder(nn.Module):
     return_layers: Optional[Sequence[int]] = None
     remat: bool = False
     remat_policy: Optional[str] = None
+    # nn.scan over the (identical) blocks instead of a Python loop — same
+    # numerics, ~depth-fold smaller HLO, stacked parameter layout (see
+    # models.scan_repack). Gated off by default (converters/parity tests
+    # target the unrolled layout).
+    scan_blocks: bool = False
 
     @property
     def embed_dim(self) -> int:
@@ -173,6 +223,36 @@ class ViTEncoder(nn.Module):
         extra_tags = (
             extra_tags_for_policy(self.remat_policy) if self.remat else ()
         )
+
+        if self.scan_blocks:
+            scan_cls = nn.scan(
+                _ViTBlockBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True, "droppath": True},
+                length=depth,
+            )
+            x, stacked = scan_cls(
+                dim=embed_dim,
+                num_heads=num_heads,
+                init_values=self.init_values,
+                deterministic=deterministic,
+                remat=self.remat,
+                remat_policy=self.remat_policy,
+                extra_tags=extra_tags,
+                emit_layers=bool(return_set),
+                dtype=self.dtype,
+                name="blocks",
+            )(x, None)
+            for i in sorted(return_set):
+                intermediates.append(
+                    stacked[i][:, n_prefix:].reshape(B, h, w, embed_dim)
+                )
+            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+            patch_tokens = x[:, n_prefix:].reshape(B, h, w, embed_dim)
+            if self.return_layers is not None:
+                return intermediates, patch_tokens
+            return patch_tokens
+
         block_cls = SelfAttentionBlock
         if self.remat:
             from mapanything_tpu.models.blocks import resolve_remat_policy

@@ -30,6 +30,88 @@ from mapanything_tpu.models.blocks import SelfAttentionBlock
 from mapanything_tpu.models.encoders.dense_rep import sinusoid_encoding_table
 
 
+class _AlternatingPairBody(nn.Module):
+    """One (global, frame) layer pair — the repeating unit of the trunk.
+
+    Used as the ``nn.scan`` body when ``scan_pairs`` is set: scanning the
+    12 identical pairs keeps ONE pair's HLO in the program instead of 24
+    unrolled distinct blocks, shrinking compile time ~an order of magnitude
+    on hosts where XLA compilation is the bottleneck (the driver's virtual
+    CPU mesh dryrun). Numerics are identical to the unrolled loop — the
+    equality test rides in tests/test_scan_layers.py, and
+    ``models.scan_repack`` converts parameter trees between the two
+    layouts.
+    """
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    qkv_bias: bool
+    qk_norm: bool
+    init_values: Optional[float]
+    use_scalable_softmax: bool
+    use_entropy_scaling: bool
+    base_token_count_for_entropy_scaling: int
+    entropy_scaling_growth_factor: float
+    context_parallel: bool
+    num_views: int
+    tokens_per_view: int
+    extra_tokens: int
+    deterministic: bool
+    remat: bool
+    remat_policy: Optional[str]
+    extra_tags: tuple
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, _):
+        from mapanything_tpu.models.blocks import resolve_remat_policy
+
+        B = x.shape[0]
+        V, P, T = self.num_views, self.tokens_per_view, self.extra_tokens
+        block_cls = SelfAttentionBlock
+        if self.remat:
+            block_cls = nn.remat(
+                SelfAttentionBlock, static_argnums=(2,),
+                policy=resolve_remat_policy(self.remat_policy),
+            )
+        common = dict(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            qkv_bias=self.qkv_bias,
+            qk_norm=self.qk_norm,
+            init_values=self.init_values,
+            use_scalable_softmax=self.use_scalable_softmax,
+            use_entropy_scaling=self.use_entropy_scaling,
+            base_token_count_for_entropy_scaling=self.base_token_count_for_entropy_scaling,
+            entropy_scaling_growth_factor=self.entropy_scaling_growth_factor,
+            extra_tags=self.extra_tags,
+            dtype=self.dtype,
+        )
+        # Global attention over all views (+ additional tokens).
+        x = block_cls(
+            **common,
+            cp_global=self.context_parallel,
+            cp_extra_tokens=T,
+            name="gblock",
+        )(x, None, self.deterministic)
+        x_global = x
+        # Frame-level attention; additional tokens bypass this layer.
+        view_tok = x[:, : V * P, :].reshape(B * V, P, self.dim)
+        view_tok = block_cls(**common, name="fblock")(
+            view_tok, None, self.deterministic
+        )
+        view_tok = view_tok.reshape(B, V * P, self.dim)
+        if T:
+            x = jnp.concatenate([view_tok, x[:, V * P :, :]], axis=1)
+        else:
+            x = view_tok
+        # Emit both per-layer outputs so intermediate taps at ANY depth
+        # index (even or odd) can be selected outside the scan.
+        return x, jnp.stack([x_global, x])
+
+
 class AlternatingAttentionTransformer(nn.Module):
     """Alternating global/frame attention over multi-view token grids."""
 
@@ -57,6 +139,12 @@ class AlternatingAttentionTransformer(nn.Module):
     context_parallel: bool = False
     remat: bool = False
     remat_policy: Optional[str] = None
+    # Scan the (global, frame) layer pairs with nn.scan instead of a Python
+    # loop over 24 distinct blocks. Same numerics (tests/test_scan_layers.py)
+    # and a ~depth/2-fold smaller HLO; parameter layout differs (stacked
+    # leading pair dim) — models.scan_repack converts both ways. Gated off
+    # by default: converters/parity tests target the unrolled layout.
+    scan_pairs: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -120,6 +208,50 @@ class AlternatingAttentionTransformer(nn.Module):
         extra_tags = (
             extra_tags_for_policy(self.remat_policy) if self.remat else ()
         )
+
+        if self.scan_pairs:
+            assert self.depth % 2 == 0, "scan_pairs needs an even depth"
+            scan_cls = nn.scan(
+                _AlternatingPairBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True, "droppath": True},
+                length=self.depth // 2,
+            )
+            x, stacked = scan_cls(
+                dim=self.dim,
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                qk_norm=self.qk_norm,
+                init_values=self.init_values,
+                use_scalable_softmax=self.use_scalable_softmax,
+                use_entropy_scaling=self.use_entropy_scaling,
+                base_token_count_for_entropy_scaling=self.base_token_count_for_entropy_scaling,
+                entropy_scaling_growth_factor=self.entropy_scaling_growth_factor,
+                context_parallel=self.context_parallel,
+                num_views=V,
+                tokens_per_view=P,
+                extra_tokens=T,
+                deterministic=deterministic,
+                remat=self.remat,
+                remat_policy=self.remat_policy,
+                extra_tags=extra_tags,
+                dtype=self.dtype,
+                name="pairs",
+            )(x, None)
+            # stacked: (depth//2, 2, B, N, dim) -> per-layer (depth, B, N, dim)
+            layers = stacked.reshape((self.depth,) + x.shape)
+            for depth_idx in sorted(take):
+                inter = layers[depth_idx]
+                inter = final_norm(inter) if self.norm_intermediate else inter
+                intermediates.append(
+                    inter[:, : V * P, :].reshape(B, V, h, w, self.dim)
+                )
+            x = final_norm(x)
+            view_features = x[:, : V * P, :].reshape(B, V, h, w, self.dim)
+            additional_features = x[:, V * P :, :] if T else None
+            return view_features, intermediates, additional_features
+
         block_cls = SelfAttentionBlock
         if self.remat:
             from mapanything_tpu.models.blocks import resolve_remat_policy

@@ -38,9 +38,9 @@ from mapanything_tpu.geometry.normalization import (
     apply_log_to_norm,
     normalize_depth_using_non_zero_pixels,
     normalize_pose_translations,
+    safe_norm,
 )
 from mapanything_tpu.geometry.quaternion import relative_pose_quats_trans
-from mapanything_tpu.geometry.normalization import safe_norm
 from mapanything_tpu.models.encoders.dense_rep import (
     DenseRepresentationEncoder,
     GlobalRepresentationEncoder,
@@ -289,6 +289,13 @@ class MapAnythingConfig:
     # Route the trunk's global layers through the explicit context-parallel
     # schedules (ring / allgather-KV) when a parallel.cp context is active.
     context_parallel_trunk: bool = False
+    # nn.scan the encoder's blocks and the trunk's layer pairs instead of
+    # unrolling them: identical numerics, ~an order of magnitude smaller
+    # HLO (the compile-time cut that fits the driver's virtual-CPU flagship
+    # dryrun in its clock). Parameter layout differs (stacked leading layer
+    # dim) — models.scan_repack converts both ways; parity tests and torch
+    # converters target the default unrolled layout.
+    scan_layers: bool = False
     compute_dtype: str = "float32"  # bf16 on TPU
     # Dense/pose/scale head compute dtype. "float32" matches the reference
     # (model.py:1774 forces autocast off for the heads); "bfloat16" runs the
@@ -398,6 +405,7 @@ class MapAnything(nn.Module):
                 if cfg.encoder_remat_policy is None
                 else cfg.encoder_remat_policy
             ),
+            scan_blocks=cfg.scan_layers,
             name="encoder",
         )
         enc_feats = encoder(imgs.reshape(B * V, H, W, 3), deterministic)
@@ -557,6 +565,7 @@ class MapAnything(nn.Module):
                 if cfg.trunk_remat_policy is None
                 else cfg.trunk_remat_policy
             ),
+            scan_pairs=cfg.scan_layers,
             name="info_sharing",
         )
         final_feats, intermediates, token_feats = trunk(
