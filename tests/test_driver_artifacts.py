@@ -18,17 +18,32 @@ def _load(name, path):
 def test_graft_entry_stage_registry_consistent():
     ge = _load("graft_entry_mod", "/root/repo/__graft_entry__.py")
     stage_names = [s for s, _ in ge._STAGES]
+    # the never-driver-recorded train step must run BEFORE the forward
+    # that already has a green round-4 line (VERDICT r4 item 1a)
     assert stage_names == [
         "toy_train_step",
-        "flagship_ring_cp_forward",
         "flagship_train_step",
+        "flagship_ring_cp_forward",
     ]
     for name in stage_names:
         assert name in ge._STAGE_FNS, name
         assert callable(ge._STAGE_FNS[name])
-    # budgets positive and the defaults fit the orchestrator's total
+    # budgets positive and the defaults MUST fit the orchestrator's total
+    # (round-4 bug: 2520 s of stage budgets against a 2400 s total)
     budgets = [b for _, b in ge._STAGES]
     assert all(b > 60 for b in budgets)
+    assert sum(budgets) <= ge._DEFAULT_TOTAL_BUDGET_S
+
+
+def test_graft_entry_device_count_flag_replaced():
+    # an inherited flag with another n must be REPLACED, not kept (ADVICE r4)
+    ge = _load("graft_entry_mod_f", "/root/repo/__graft_entry__.py")
+    flags = ge._set_device_count_flag(
+        "--foo=1 --xla_force_host_platform_device_count=4", 8
+    )
+    assert "--xla_force_host_platform_device_count=8" in flags
+    assert "device_count=4" not in flags
+    assert "--foo=1" in flags
 
 
 def test_bench_analytic_flops_sane():
@@ -40,8 +55,20 @@ def test_bench_analytic_flops_sane():
     assert 19.0e12 < f8 < 19.6e12, f8
     # superlinear in V (global attention is quadratic), but < quadratic
     assert f4 * 2 < f8 < f4 * 4
-    # implied MFU at the measured throughput must stay physical
-    assert f8 * 43.2 / 8 < bench.V5E_PEAK_TFLOPS * 1e12
+    # implied MFU at the best RECORDED throughput must stay physical —
+    # read the throughput from the recorded bench artifacts so a future
+    # legitimate speedup moves the bound with it (ADVICE r4)
+    import glob
+
+    best = 43.2  # floor: the round-4 record
+    for path in sorted(glob.glob("/root/repo/BENCH_r*.json")):
+        try:
+            rec = json.load(open(path)).get("parsed") or {}
+            if rec.get("unit") == "views/s/chip":
+                best = max(best, float(rec.get("value", 0.0)))
+        except Exception:
+            continue
+    assert f8 * best / 8 < bench.V5E_PEAK_TFLOPS * 1e12
 
 
 def test_bench_budgeted_isolates_failures(capsys):
