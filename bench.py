@@ -45,6 +45,18 @@ INFER_ANCHOR = "vs our round-1 first stable run (15.3 views/s); reference checkp
 ROUND2_TRAIN_VIEWS_PER_S = 9.3
 TRAIN_ANCHOR = "vs our round-2 first measurement (9.3 views/s); reference trains on 80GB parts"
 
+# First driver-recorded many-view measurement (round 4): 14.58 views/s.
+ROUND4_MANYVIEW_VIEWS_PER_S = 14.58
+MANYVIEW_ANCHOR = (
+    "vs the round-4 first driver-recorded many-view run (14.58 views/s); "
+    "single chip, chunked dense head"
+)
+
+# Key naming: ``vs_round1`` / ``vs_round2`` / ``vs_round4`` say exactly
+# what each ratio measures (our own first recorded runs). ``vs_baseline``
+# is kept as an alias carrying the same value because the driver parses
+# that key from the last line ({"metric", "value", "unit", "vs_baseline"}).
+
 # v5e bf16 matmul peak (TFLOP/s) for the MFU figure; head_dim-64 attention
 # can use at most ~half the 128-wide MXU contraction (docs/PERFORMANCE.md
 # "Inference roofline").
@@ -266,18 +278,21 @@ def train_bench(model_cls, cfg_cls, on_tpu):
 
     dt = bwd_dt + opt_dt
     views_per_s = B * V / dt
+    ratio = round(views_per_s / ROUND2_TRAIN_VIEWS_PER_S, 3) if on_tpu else 1.0
     record = {
         "metric": f"{V}-view {H}px full train step throughput",
         "value": round(views_per_s, 3),
         "unit": "views/s/chip",
-        "vs_baseline": (
-            round(views_per_s / ROUND2_TRAIN_VIEWS_PER_S, 3) if on_tpu else 1.0
-        ),
+        "vs_round2": ratio,
+        "vs_baseline": ratio,  # driver-contract alias of vs_round2
         "baseline_anchor": TRAIN_ANCHOR,
         "measurement": (
             "additive: scanned fwd+grad (scalar carry, "
             f"{bwd_dt * 1e3:.1f} ms) + donated AdamW update "
-            f"({opt_dt * 1e3:.1f} ms)"
+            f"({opt_dt * 1e3:.1f} ms); deterministic full-modality forward "
+            "(the round-2 anchor ran make_train_step's rng-sampled "
+            "modality masks + PE indices — excluded here, a sub-ms "
+            "program delta)"
         ),
     }
     if on_tpu:
@@ -329,17 +344,28 @@ def many_view_bench(model_cls, cfg_cls, views_cls, on_tpu):
     assert np.isfinite(float(s)) and float(fin) == 1.0
     dt = (time.perf_counter() - t0) / iters
     views_per_s = B * V / dt
-    print(json.dumps({
+    record = {
         "metric": f"{V}-view {H}px memory-efficient images-only inference",
         "value": round(views_per_s, 3),
         "unit": "views/s/chip",
-        "vs_baseline": 1.0,
-        "baseline_anchor": (
-            "first driver-recorded many-view run (round 4); single chip, "
-            "chunked dense head"
-        ),
+        "vs_round4": round(views_per_s / ROUND4_MANYVIEW_VIEWS_PER_S, 3)
+        if on_tpu
+        else 1.0,
+        "vs_baseline": round(views_per_s / ROUND4_MANYVIEW_VIEWS_PER_S, 3)
+        if on_tpu
+        else 1.0,  # driver-contract alias of vs_round4
+        "baseline_anchor": MANYVIEW_ANCHOR,
         "seconds_per_scene": round(dt, 3),
-    }), flush=True)
+    }
+    if on_tpu:
+        # Self-justifying roofline context (VERDICT r4 item 6): global
+        # attention is O((V*P)^2), so 64 views CANNOT hit the 8-view
+        # views/s — the analytic FLOPs + MFU on the record show the slower
+        # rate still runs the hardware at the same efficiency.
+        flops = analytic_forward_flops(B, V, H, W)
+        record["model_tflop"] = round(flops / 1e12, 3)
+        record["mfu"] = round(flops / dt / (V5E_PEAK_TFLOPS * 1e12), 4)
+    print(json.dumps(record), flush=True)
 
 
 def _budgeted(label, budget_s, fn, *args):
@@ -418,13 +444,13 @@ def _headline_inference(model_cls, cfg_cls, views_cls, on_tpu):
 
     views_per_s = B * V / dt
     flops = analytic_forward_flops(B, V, H, W) if on_tpu else None
+    ratio = round(views_per_s / ROUND1_VIEWS_PER_S, 3) if on_tpu else 1.0
     record = {
         "metric": f"{V}-view {H}px images-only metric inference throughput",
         "value": round(views_per_s, 3),
         "unit": "views/s/chip",
-        "vs_baseline": (
-            round(views_per_s / ROUND1_VIEWS_PER_S, 3) if on_tpu else 1.0
-        ),
+        "vs_round1": ratio,
+        "vs_baseline": ratio,  # driver-contract alias of vs_round1
         "baseline_anchor": INFER_ANCHOR,
     }
     if flops is not None:
@@ -497,6 +523,30 @@ def _run_subprocess(which, budget_s):
                       "error": last_tail or "budget exhausted"}), flush=True)
 
 
+def _probe_on_tpu() -> bool:
+    """Decide TPU-vs-CPU in a SUBPROCESS so the dispatching parent never
+    initializes the backend: on standard local-host TPU, libtpu takes
+    exclusive device ownership and an initialized parent would starve the
+    per-line child processes (over the axon tunnel this doesn't bite, but
+    the probe makes the isolation scheme transport-independent —
+    ADVICE r4)."""
+    import subprocess
+    import sys
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+            timeout=300,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+        )
+        lines = [ln.strip() for ln in out.stdout.splitlines() if ln.strip()]
+        return bool(lines) and lines[-1] not in ("cpu",)
+    except Exception:
+        return False
+
+
 def main():
     import argparse
 
@@ -514,11 +564,14 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    on_tpu = jax.default_backend() not in ("cpu",)
-
     if args.only:
+        # Child process: it owns the chip for its one measurement, so
+        # initializing the backend here is fine on any transport.
+        on_tpu = jax.default_backend() not in ("cpu",)
         _run_inline(args.only, on_tpu)
         return
+
+    on_tpu = _probe_on_tpu()
 
     if on_tpu:
         # Each line in its own subprocess (clean chip per measurement);
