@@ -112,11 +112,18 @@ def _build_system(tracks: Tracks, state: BAState, huber_delta: float):
 
 
 def _schur_solve(r, Jc, Jp, lm_lambda: float, cg_iters: int,
-                 fix_first_cam: bool = True):
+                 fix_first_cam: bool = True, axis_name=None):
     """Solve the damped normal equations by Schur reduction + CG.
 
     Shapes: r (N, M, 2), Jc (N, M, 2, 6), Jp (N, M, 2, 3).
     Returns (delta_cam (M, 6), delta_pts (N, 3)).
+
+    With ``axis_name`` set (inside ``shard_map`` over the track axis — see
+    :func:`ba_solve_sharded`), N is the LOCAL track count and every
+    track-contracted product (Hcc, bc, the reduced RHS, and each Schur
+    matvec inside CG) is completed with a ``psum`` over the mesh axis —
+    the "BA reductions over ICI" design: camera-sized (M, 6) vectors ride
+    the interconnect, point blocks never leave their shard.
 
     Gauge handling: BA has 6 (pose) + 1 (scale) gauge freedoms; without
     fixing them the reduced system is rank-deficient and CG returns huge
@@ -125,12 +132,18 @@ def _schur_solve(r, Jc, Jp, lm_lambda: float, cg_iters: int,
     would invalidate the step); multiplicative LM damping absorbs the
     scale gauge.
     """
-    # Blocks.
-    Hpp = jnp.einsum("nmki,nmkj->nij", Jp, Jp)  # (N, 3, 3)
-    Hcc = jnp.einsum("nmki,nmkj->mij", Jc, Jc)  # (M, 6, 6)
-    Hcp = jnp.einsum("nmki,nmkj->nmij", Jc, Jp)  # (N, M, 6, 3)
-    bc = -jnp.einsum("nmki,nmk->mi", Jc, r)  # (M, 6)
-    bp = -jnp.einsum("nmki,nmk->ni", Jp, r)  # (N, 3)
+    reduce_tracks = (
+        (lambda x: jax.lax.psum(x, axis_name))
+        if axis_name is not None
+        else (lambda x: x)
+    )
+    # Blocks. Track-contracted blocks are segment-sums over the local
+    # observations completed by the cross-shard reduction.
+    Hpp = jnp.einsum("nmki,nmkj->nij", Jp, Jp)  # (N, 3, 3) local
+    Hcc = reduce_tracks(jnp.einsum("nmki,nmkj->mij", Jc, Jc))  # (M, 6, 6)
+    Hcp = jnp.einsum("nmki,nmkj->nmij", Jc, Jp)  # (N, M, 6, 3) local
+    bc = -reduce_tracks(jnp.einsum("nmki,nmk->mi", Jc, r))  # (M, 6)
+    bp = -jnp.einsum("nmki,nmk->ni", Jp, r)  # (N, 3) local
 
     eye3 = jnp.eye(3)
     eye6 = jnp.eye(6)
@@ -150,13 +163,13 @@ def _schur_solve(r, Jc, Jp, lm_lambda: float, cg_iters: int,
 
     # Reduced RHS: b~ = bc - Hcp Hpp^-1 bp
     hinv_bp = jnp.einsum("nij,nj->ni", Hpp_inv, bp)  # (N, 3)
-    b_red = bc - jnp.einsum("nmij,nj->mi", Hcp, hinv_bp)
+    b_red = bc - reduce_tracks(jnp.einsum("nmij,nj->mi", Hcp, hinv_bp))
 
-    def S_matvec(v):  # v (M, 6)
+    def S_matvec(v):  # v (M, 6) replicated across track shards
         hv = jnp.einsum("mij,mj->mi", Hcc, v)
-        t = jnp.einsum("nmji,mj->ni", Hcp, v)  # Hpc v, (N, 3)
+        t = jnp.einsum("nmji,mj->ni", Hcp, v)  # Hpc v, (N, 3) local
         t = jnp.einsum("nij,nj->ni", Hpp_inv, t)
-        hv = hv - jnp.einsum("nmij,nj->mi", Hcp, t)
+        hv = hv - reduce_tracks(jnp.einsum("nmij,nj->mi", Hcp, t))
         return hv
 
     # Jacobi-preconditioned CG on the reduced camera system.
@@ -195,21 +208,24 @@ def _apply_update(state: BAState, delta_cam, delta_pts, fix_first_cam: bool):
     return BAState(rot=rot_new, trans=trans_new, points=state.points + delta_pts)
 
 
-def _total_cost(tracks: Tracks, state: BAState, huber_delta: float):
+def _total_cost(tracks: Tracks, state: BAState, huber_delta: float,
+                axis_name=None):
     r, _, _ = _build_system(tracks, state, huber_delta)
-    return jnp.sum(r * r)
+    cost = jnp.sum(r * r)
+    return jax.lax.psum(cost, axis_name) if axis_name is not None else cost
 
 
-@partial(jax.jit, static_argnums=(1, 2, 4))
-def ba_solve(
+def _gauss_newton_loop(
     tracks: Tracks,
-    num_iterations: int = 10,
-    cg_iters: int = 20,
-    huber_delta: float = 2.0,
-    fix_first_cam: bool = True,
-    lm_lambda: float = 1e-3,
+    num_iterations: int,
+    cg_iters: int,
+    huber_delta: float,
+    fix_first_cam: bool,
+    lm_lambda: float,
+    axis_name=None,
 ) -> Tuple[BAState, jnp.ndarray]:
-    """Run Gauss-Newton BA. Returns (refined state, per-iter cost history)."""
+    """The shared GN/LM loop; with ``axis_name`` set, ``tracks`` is the
+    local track shard and all camera-system reductions cross the mesh."""
     state = BAState(
         rot=tracks.cam_from_world_rot,
         trans=tracks.cam_from_world_trans,
@@ -220,11 +236,13 @@ def ba_solve(
         state, lam = carry
         r, Jc, Jp = _build_system(tracks, state, huber_delta)
         delta_cam, delta_pts = _schur_solve(
-            r, Jc, Jp, lam, cg_iters, fix_first_cam
+            r, Jc, Jp, lam, cg_iters, fix_first_cam, axis_name
         )
         new_state = _apply_update(state, delta_cam, delta_pts, fix_first_cam)
         old_cost = jnp.sum(r * r)
-        new_cost = _total_cost(tracks, new_state, huber_delta)
+        if axis_name is not None:
+            old_cost = jax.lax.psum(old_cost, axis_name)
+        new_cost = _total_cost(tracks, new_state, huber_delta, axis_name)
         improved = new_cost < old_cost
         # Levenberg lambda adaptation; reject steps that worsen the cost.
         state = jax.tree.map(
@@ -237,6 +255,100 @@ def ba_solve(
     (state, _), costs = jax.lax.scan(
         gn_step, (state, jnp.asarray(lm_lambda)), None, length=num_iterations
     )
+    return state, costs
+
+
+@partial(jax.jit, static_argnums=(1, 2, 4))
+def ba_solve(
+    tracks: Tracks,
+    num_iterations: int = 10,
+    cg_iters: int = 20,
+    huber_delta: float = 2.0,
+    fix_first_cam: bool = True,
+    lm_lambda: float = 1e-3,
+) -> Tuple[BAState, jnp.ndarray]:
+    """Run Gauss-Newton BA. Returns (refined state, per-iter cost history)."""
+    return _gauss_newton_loop(
+        tracks, num_iterations, cg_iters, huber_delta, fix_first_cam, lm_lambda
+    )
+
+
+BA_TRACK_AXIS = "ba_tracks"
+
+
+def ba_solve_sharded(
+    tracks: Tracks,
+    mesh,
+    num_iterations: int = 10,
+    cg_iters: int = 20,
+    huber_delta: float = 2.0,
+    fix_first_cam: bool = True,
+    lm_lambda: float = 1e-3,
+    axis: str = None,
+) -> Tuple[BAState, jnp.ndarray]:
+    """Distributed BA: observations sharded over the mesh's track axis.
+
+    The multi-chip realization of the design this module's docstring (and
+    BASELINE.md's north star) promises: tracks are block-sharded across
+    devices with ``shard_map``; per-track work (Jacobians, Hpp inverses,
+    point back-substitution) stays device-local, and the camera-sized
+    Schur products (Hcc, the reduced RHS, every CG matvec) complete with
+    ``psum`` collectives — (M, 6)-sized traffic over ICI per CG step,
+    independent of the number of observations. Equality with the
+    single-device :func:`ba_solve` is tested on the 8-device CPU mesh in
+    ``tests/test_ba.py``. Replaces the single-process C++ Ceres BA of
+    ``/root/reference/scripts/demo_colmap.py:466-485``.
+
+    Tracks whose count does not divide the axis size are padded with
+    invalid observations (zero Huber weight — they contribute nothing and
+    their point updates are dropped on unpad).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = axis or mesh.axis_names[0]
+    k = mesh.shape[axis]
+    N = tracks.valid.shape[0]
+    pad = (-N) % k
+    if pad:
+        def pad_n(x):
+            widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths)
+
+        tracks = tracks.replace(
+            points3d=pad_n(tracks.points3d),
+            observations_uv=pad_n(tracks.observations_uv),
+            valid=pad_n(tracks.valid),
+        )
+
+    track_specs = Tracks(
+        points3d=P(axis),
+        observations_uv=P(axis),
+        valid=P(axis),
+        intrinsics=P(),
+        cam_from_world_rot=P(),
+        cam_from_world_trans=P(),
+    )
+    out_specs = (
+        BAState(rot=P(), trans=P(), points=P(axis)),
+        P(),
+    )
+
+    def solve_local(tr_local):
+        return _gauss_newton_loop(
+            tr_local, num_iterations, cg_iters, huber_delta,
+            fix_first_cam, lm_lambda, axis_name=axis,
+        )
+
+    solve = jax.jit(
+        shard_map(
+            solve_local, mesh=mesh, in_specs=(track_specs,),
+            out_specs=out_specs,
+        )
+    )
+    state, costs = solve(tracks)
+    if pad:
+        state = state._replace(points=state.points[:N])
     return state, costs
 
 
