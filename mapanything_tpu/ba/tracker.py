@@ -262,6 +262,67 @@ def select_query_frames(
     return idx
 
 
+def predict_tracks_learned(
+    images: jnp.ndarray,
+    tracker_params,
+    max_query_pts: int = 512,
+    query_frame_num: int = 3,
+    vis_thresh: float = 0.5,
+    coarse_iters: int = 6,
+    fine_tracking: bool = True,
+):
+    """Multi-view tracks via the LEARNED VGGSfM coarse->fine network.
+
+    The native route for the reference's learned tracker
+    (``track_predict.predict_tracks`` ->
+    ``vggsfm_tracker.TrackerPredictor``, third_party/track_predict.py:23):
+    per query frame, reorder the sequence so the query is frame 0 (the
+    network's convention), seed query points from the corner detector (the
+    ALIKED/SuperPoint substitute), run the coarse->fine refiner, and map
+    frames back. Same (tracks, vis, scores) contract as
+    :func:`predict_tracks`.
+
+    Args:
+        images: (S, H, W, 3) in [0, 1].
+        tracker_params: the ``VGGSfMTracker`` param tree (convert reference
+            weights with ``utils.torch_convert.convert_vggsfm_tracker``).
+    """
+    import jax
+
+    from mapanything_tpu.models.external.vggsfm_tracker import VGGSfMTracker
+
+    model = VGGSfMTracker()
+    images = jnp.asarray(images)
+    S = images.shape[0]
+    queries = select_query_frames(np.asarray(images), query_frame_num)
+
+    fwd = jax.jit(
+        lambda p, im, q: model.apply(
+            {"params": p}, im, q,
+            coarse_iters=coarse_iters, fine_tracking=fine_tracking,
+        )
+    )
+
+    all_tracks, all_scores = [], []
+    for q in queries:
+        order = np.asarray([q] + [s for s in range(S) if s != q])
+        inv = np.argsort(order)
+        uv, kp_score = harris_keypoints(images[q], max_points=max_query_pts)
+        keep = np.asarray(kp_score > 0)
+        fine, _coarse, vis, _score = fwd(
+            tracker_params, images[jnp.asarray(order)][None], uv[None]
+        )
+        tr = np.asarray(fine[0])[inv]  # (S, N, 2)
+        sc = np.asarray(vis[0])[inv]  # (S, N) sigmoid visibility
+        sc[q] = 1.0  # query frame observations are exact by construction
+        all_tracks.append(tr[:, keep])
+        all_scores.append(sc[:, keep])
+
+    tracks = np.concatenate(all_tracks, axis=1)
+    scores = np.concatenate(all_scores, axis=1)
+    return tracks, scores >= vis_thresh, scores
+
+
 def predict_tracks(
     images: jnp.ndarray,
     max_query_pts: int = 512,
@@ -271,8 +332,14 @@ def predict_tracks(
     radius: int = 5,
     search: int = 4,
     levels: int = 3,
+    tracker_params=None,
 ):
     """Multi-view tracks (reference track_predict.predict_tracks).
+
+    With ``tracker_params`` supplied, the LEARNED VGGSfM network handles
+    prediction (:func:`predict_tracks_learned`); otherwise the weights-free
+    classical coarse-to-fine NCC tracker below runs (the documented
+    substitution — docs/INFERENCE.md).
 
     Args:
         images: (S, H, W, 3) in [0, 1].
@@ -282,6 +349,13 @@ def predict_tracks(
         vis_thresh); scores (S, N) float32 NCC. N accumulates over query
         frames.
     """
+    if tracker_params is not None:
+        return predict_tracks_learned(
+            images, tracker_params,
+            max_query_pts=max_query_pts,
+            query_frame_num=query_frame_num,
+            vis_thresh=vis_thresh,
+        )
     images = jnp.asarray(images)
     S = images.shape[0]
     queries = select_query_frames(np.asarray(images), query_frame_num)

@@ -139,6 +139,7 @@ def tracks_from_photometric_tracker(
     max_query_pts: int = 512,
     query_frame_num: int = 3,
     vis_thresh: float = 0.6,
+    tracker_params=None,
 ) -> Tracks:
     """Build BA tracks from the photometric keypoint tracker.
 
@@ -163,6 +164,7 @@ def tracks_from_photometric_tracker(
         max_query_pts=max_query_pts,
         query_frame_num=query_frame_num,
         vis_thresh=vis_thresh,
+        tracker_params=tracker_params,  # learned VGGSfM route when set
     )  # (V, N, 2), (V, N), (V, N)
     return _assemble_tracks_from_uv(
         tracks_uv, vis, scores, depth_z, intrinsics, camera_poses

@@ -229,3 +229,16 @@ def _build_metric_dust3r(size: str = "full", **kwargs):
     the exp (unbounded) depth adaptor, which ModularDUSt3RConfig's default
     pointmap RangeConfig("exp") already is."""
     return _build_dust3r_ba(size=size, **kwargs)
+
+
+@register_model("vggsfm_tracker")
+def _build_vggsfm_tracker(**overrides):
+    """Learned VGGSfM coarse->fine track predictor — native flax
+    re-implementation of the reference's tracker network
+    (mapanything/third_party/vggsfm_tracker.py:18). Weights convert from
+    the reference checkpoint via utils.torch_convert.convert_vggsfm_tracker;
+    the weights-free classical tracker (ba/tracker.py) is the fallback
+    route in ba.tracker.predict_tracks."""
+    from mapanything_tpu.models.external.vggsfm_tracker import VGGSfMTracker
+
+    return VGGSfMTracker(**overrides)

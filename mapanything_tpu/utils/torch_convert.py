@@ -981,3 +981,151 @@ def convert_anycalib(state: Mapping[str, np.ndarray]) -> Dict:
         params[f"up{i}"] = conv_transpose2d(*pair)
     params["dec_out"] = conv2d(*plains[-1])
     return params
+
+
+# ---------------------------------------------------------------------------
+# VGGSfM tracker (the learned coarse->fine track refiner)
+# ---------------------------------------------------------------------------
+
+
+def _mha(sd, p):
+    """torch nn.MultiheadAttention -> models.external.vggsfm_tracker.TorchMHA."""
+    return {
+        "in_proj_kernel": _t(sd[p + ".in_proj_weight"]).T,
+        "in_proj_bias": _t(sd[p + ".in_proj_bias"]),
+        "out_proj": linear(sd[p + ".out_proj.weight"], sd[p + ".out_proj.bias"]),
+    }
+
+
+def _tracker_mlp(sd, p):
+    return {
+        "fc1": linear(sd[p + ".fc1.weight"], sd[p + ".fc1.bias"]),
+        "fc2": linear(sd[p + ".fc2.weight"], sd[p + ".fc2.bias"]),
+    }
+
+
+def _attn_block(sd, p):
+    # norm1/norm2 are non-affine (no parameters)
+    return {"attn": _mha(sd, p + ".attn"), "mlp": _tracker_mlp(sd, p + ".mlp")}
+
+
+def _cross_attn_block(sd, p):
+    return {
+        "cross_attn": _mha(sd, p + ".cross_attn"),
+        "norm_context": layer_norm(
+            sd[p + ".norm_context.weight"], sd[p + ".norm_context.bias"]
+        ),
+        "mlp": _tracker_mlp(sd, p + ".mlp"),
+    }
+
+
+def _tracker_res_block(sd, p):
+    out = {
+        "conv1": conv2d(sd[p + ".conv1.weight"], sd[p + ".conv1.bias"]),
+        "conv2": conv2d(sd[p + ".conv2.weight"], sd[p + ".conv2.bias"]),
+    }
+    if p + ".downsample.0.weight" in sd:  # Sequential(conv1x1, norm)
+        out["downsample"] = conv2d(
+            sd[p + ".downsample.0.weight"], sd[p + ".downsample.0.bias"]
+        )
+    return out
+
+
+def _updateformer(sd, p, time_depth, space_depth):
+    out = {
+        "input_transform": linear(
+            sd[p + ".input_transform.weight"], sd[p + ".input_transform.bias"]
+        ),
+        "flow_head": linear(
+            sd[p + ".flow_head.weight"], sd[p + ".flow_head.bias"]
+        ),
+    }
+    if p + ".virual_tracks" in sd:  # (sic) upstream name
+        out["virual_tracks"] = _t(sd[p + ".virual_tracks"])
+    for i in range(time_depth):
+        out[f"time_blocks_{i}"] = _attn_block(sd, f"{p}.time_blocks.{i}")
+    for j in range(space_depth):
+        out[f"space_virtual_blocks_{j}"] = _attn_block(
+            sd, f"{p}.space_virtual_blocks.{j}"
+        )
+        out[f"space_point2virtual_blocks_{j}"] = _cross_attn_block(
+            sd, f"{p}.space_point2virtual_blocks.{j}"
+        )
+        out[f"space_virtual2point_blocks_{j}"] = _cross_attn_block(
+            sd, f"{p}.space_virtual2point_blocks.{j}"
+        )
+    return out
+
+
+def _base_tracker_predictor(sd, p, depth, space, fine):
+    out = {
+        "updateformer": _updateformer(sd, f"{p}.updateformer", depth,
+                                      depth if space else 0),
+        # GroupNorm(1, latent): torch weight/bias -> flax scale/bias
+        "norm": {"scale": _t(sd[p + ".norm.weight"]),
+                 "bias": _t(sd[p + ".norm.bias"])},
+        # ffeat_updater is Sequential(Linear, GELU) -> index 0
+        "ffeat_updater": linear(
+            sd[p + ".ffeat_updater.0.weight"], sd[p + ".ffeat_updater.0.bias"]
+        ),
+    }
+    if not fine:
+        out["vis_predictor"] = linear(
+            sd[p + ".vis_predictor.0.weight"], sd[p + ".vis_predictor.0.bias"]
+        )
+    return out
+
+
+def convert_vggsfm_tracker(state: Mapping[str, np.ndarray]) -> Dict:
+    """Reference ``TrackerPredictor`` state dict -> our
+    ``models/external/vggsfm_tracker.VGGSfMTracker`` param tree.
+
+    Parity map (``/root/reference/mapanything/third_party/vggsfm_tracker.py:18``):
+    ``coarse_fnet`` (BasicEncoder: conv1 + 4x Sequential residual layers ->
+    ``layer{i}_{0,1}`` + conv2/conv3), ``coarse_predictor`` / ``fine_predictor``
+    (BaseTrackerPredictor: updateformer + GroupNorm + ffeat/vis heads;
+    InstanceNorms and the non-affine LayerNorms carry no parameters), and
+    ``fine_fnet`` (ShallowEncoder: single residual blocks per layer).
+    Numerical parity vs the actually-imported reference modules:
+    tests/test_tracker_parity.py.
+    """
+    sd = {k: _t(v) for k, v in state.items()}
+    # tolerate a wrapping prefix (e.g. "tracker.")
+    if not any(k.startswith("coarse_fnet.") for k in sd):
+        for pref in ("tracker.", "model.", "module."):
+            if any(k.startswith(pref + "coarse_fnet.") for k in sd):
+                sd = {k[len(pref):]: v for k, v in sd.items()
+                      if k.startswith(pref)}
+                break
+    params: Dict = {}
+
+    cf = {"conv1": conv2d(sd["coarse_fnet.conv1.weight"],
+                          sd["coarse_fnet.conv1.bias"])}
+    for li in range(1, 5):
+        for bi in range(2):
+            cf[f"layer{li}_{bi}"] = _tracker_res_block(
+                sd, f"coarse_fnet.layer{li}.{bi}"
+            )
+    cf["conv2"] = conv2d(sd["coarse_fnet.conv2.weight"],
+                         sd["coarse_fnet.conv2.bias"])
+    cf["conv3"] = conv2d(sd["coarse_fnet.conv3.weight"],
+                         sd["coarse_fnet.conv3.bias"])
+    params["coarse_fnet"] = cf
+
+    ff = {
+        "conv1": conv2d(sd["fine_fnet.conv1.weight"],
+                        sd["fine_fnet.conv1.bias"]),
+        "layer1": _tracker_res_block(sd, "fine_fnet.layer1"),
+        "layer2": _tracker_res_block(sd, "fine_fnet.layer2"),
+        "conv2": conv2d(sd["fine_fnet.conv2.weight"],
+                        sd["fine_fnet.conv2.bias"]),
+    }
+    params["fine_fnet"] = ff
+
+    params["coarse_predictor"] = _base_tracker_predictor(
+        sd, "coarse_predictor", depth=6, space=True, fine=False
+    )
+    params["fine_predictor"] = _base_tracker_predictor(
+        sd, "fine_predictor", depth=4, space=False, fine=True
+    )
+    return params
