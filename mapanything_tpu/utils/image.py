@@ -68,8 +68,47 @@ def rgb(img: np.ndarray, norm_type: str = "dinov2", true_shape=None) -> np.ndarr
     return np.clip(img, 0.0, 1.0)
 
 
-def _read_image(path) -> np.ndarray:
-    img = cv2.imread(str(path), cv2.IMREAD_COLOR)
+try:  # HEIF/HEIC support is optional (reference image.py:24-31 pattern:
+    # pillow-heif registers a PIL opener when installed)
+    import pillow_heif  # type: ignore
+
+    pillow_heif.register_heif_opener()
+    HEIF_SUPPORT = True
+except ImportError:  # pragma: no cover - env-dependent
+    HEIF_SUPPORT = False
+
+HEIF_EXTENSIONS = {".heic", ".heif"}
+
+
+def _read_image(path, bayer_format: bool = False) -> np.ndarray:
+    """Read one image as RGB uint8.
+
+    Parity with the reference loader (``mapanything/utils/image.py:134``):
+    ``bayer_format=True`` demosaics a raw Bayer-pattern capture
+    (cv2 ``COLOR_BAYER_RG2BGR``, consumed as RGB exactly as upstream
+    does); ``.heic/.heif`` route through PIL when pillow-heif is
+    installed (optional import above).
+    """
+    path = str(path)
+    suffix = Path(path).suffix.lower()
+    if suffix in HEIF_EXTENSIONS:
+        if not HEIF_SUPPORT:
+            raise RuntimeError(
+                f"{path}: HEIF support needs the optional pillow-heif "
+                "package (reference gates .heic the same way)"
+            )
+        from PIL import Image, ImageOps
+
+        img = ImageOps.exif_transpose(Image.open(path)).convert("RGB")
+        return np.asarray(img)
+    if bayer_format:
+        raw = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if raw is None:
+            raise FileNotFoundError(path)
+        # reference quirk reproduced: BAYER_RG2BGR output is consumed as
+        # RGB without a further swap (image.py:226-229)
+        return cv2.cvtColor(raw, cv2.COLOR_BAYER_RG2BGR)
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
     if img is None:
         raise FileNotFoundError(path)
     return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
@@ -81,6 +120,8 @@ def load_images(
     norm_type: str = "dinov2",
     resize_mode: str = "fixed_mapping",
     size: int = None,
+    bayer_format: bool = False,
+    stride: int = 1,
 ) -> dict:
     """Load + bucket-resize a folder/list of images (reference :134).
 
@@ -89,17 +130,23 @@ def load_images(
       - "longest_side": scale longest side to ``size`` (multiple of 14);
       - "square": center-crop square at ``size``.
 
+    ``bayer_format`` demosaics raw Bayer captures; ``.heic/.heif`` files
+    load when pillow-heif is installed (both per reference :134,226).
+    ``stride`` keeps every n-th image.
+
     Returns dict with:
       images: (V, H, W, 3) float32 normalized; images_no_norm in [0, 1];
       true_shape: (V, 2) original shapes; paths.
     """
+    extensions = IMG_EXTENSIONS | (HEIF_EXTENSIONS if HEIF_SUPPORT else set())
     if isinstance(folder_or_list, (str, Path)):
         paths = sorted(
             p for p in Path(folder_or_list).iterdir()
-            if p.suffix.lower() in IMG_EXTENSIONS
+            if p.suffix.lower() in extensions
         )
     else:
         paths = [Path(p) for p in folder_or_list]
+    paths = paths[::max(stride, 1)]
     if not paths:
         raise ValueError(f"no images found in {folder_or_list}")
 
@@ -107,7 +154,7 @@ def load_images(
     imgs, raw, shapes = [], [], []
     target = None
     for p in paths:
-        img = _read_image(p)
+        img = _read_image(p, bayer_format=bayer_format)
         h, w = img.shape[:2]
         shapes.append((h, w))
         if target is None:

@@ -95,6 +95,33 @@ class TestImageUtils:
         assert (w, h) in [(518, 392), (518, 336)]  # 4:3-ish bucket
         assert out["images_no_norm"].min() >= 0 and out["images_no_norm"].max() <= 1
 
+    def test_load_images_stride(self, tmp_path):
+        import cv2
+
+        rng = np.random.RandomState(1)
+        for i in range(4):
+            cv2.imwrite(
+                str(tmp_path / f"im{i}.png"),
+                rng.randint(0, 255, (64, 64, 3), np.uint8),
+            )
+        out = load_images(str(tmp_path), stride=2)
+        assert out["images"].shape[0] == 2
+        assert [p.endswith(("im0.png", "im2.png")) for p in out["paths"]]
+
+    def test_load_images_bayer(self, tmp_path):
+        # a synthetic RGGB mosaic of a flat gray scene demosaics back to
+        # (approximately) that gray (reference image.py:226-229 path)
+        import cv2
+
+        H, W, val = 64, 64, 128
+        mosaic = np.full((H, W), val, np.uint8)
+        cv2.imwrite(str(tmp_path / "bayer.png"), mosaic)
+        out = load_images(str(tmp_path), bayer_format=True,
+                          resize_mode="square", size=56)
+        img01 = out["images_no_norm"]
+        assert img01.shape == (1, 56, 56, 3)
+        np.testing.assert_allclose(img01, val / 255.0, atol=0.02)
+
     def test_rgb_denorm_roundtrip(self):
         rng = np.random.RandomState(0)
         img01 = rng.uniform(0, 1, (8, 8, 3)).astype(np.float32)
