@@ -497,6 +497,408 @@ def _use_packed(q, k, interpret) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Head-pair packed streaming kernel (inference primal for the long regime)
+# ---------------------------------------------------------------------------
+#
+# head_dim 64 uses half the MXU's 128-wide contraction. Packing TWO heads
+# per grid row ([h0 | h1] on the lanes) with K/V expanded to block-diagonal
+# (2*bk, 128) inside the kernel runs both matmuls at full contraction
+# width. Raw MAC count is IDENTICAL to two half-contraction heads (the
+# block-diagonal zeros burn exactly what the K=64 granularity tax burned —
+# measured pack/sep matmul ratio 1.006 on the v5e), but the kernel still
+# wins ~4-6% end-to-end at the global regime (6.45 vs 6.72-6.84 ms/layer
+# at 1x10953 h12, block sweep in scripts/bench_head_packing.py): half the
+# grid rows and fewer, larger DMAs pipeline better. Used as the
+# inference-only primal for long sequences with d=64 and even heads; the
+# differentiated path keeps the aug-streaming kernels (lse residual).
+
+
+def _pair_stream_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, acc, l_scr):
+    j = pl.program_id(2)
+    num_k = pl.num_programs(2)
+    bk = k_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _init():
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc[:] = jnp.zeros_like(acc)
+
+    q = q_ref[0]  # (bq, 128) = [q0 | q1], pre-scaled
+    k = k_ref[0]  # (bk, 128) = [k0 | k1]
+    v = v_ref[0]  # (bk, 128) = [v0 | v1]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    m0 = (lane < 64).astype(k.dtype)
+    m1 = (lane >= 64).astype(k.dtype)
+    kbd = jnp.concatenate([k * m0, k * m1], axis=0)  # (2bk, 128) block-diag
+    vbd = jnp.concatenate([v * m0, v * m1], axis=0)
+
+    s = jax.lax.dot_general(
+        q, kbd, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, 2bk) = [S0 | S1]
+    s = s + bias_ref[0]  # -SHIFT2 on real columns, -inf on padding
+    p = jnp.exp2(s)
+    l0 = jnp.sum(p[:, :bk], axis=1, keepdims=True)
+    l1 = jnp.sum(p[:, bk:], axis=1, keepdims=True)
+    l_scr[:, :128] += jnp.broadcast_to(l0, (p.shape[0], 128))
+    l_scr[:, 128:] += jnp.broadcast_to(l1, (p.shape[0], 128))
+
+    acc[:] += jax.lax.dot_general(
+        p.astype(v.dtype), vbd, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bq, 128) = [P0 V0 | P1 V1]
+
+    @pl.when(j == num_k - 1)
+    def _finish():
+        l_a = jnp.maximum(l_scr[:, :1], 1e-37)
+        l_b = jnp.maximum(l_scr[:, 128:129], 1e-37)
+        lane_o = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+        denom = jnp.where(lane_o < 64, l_a, l_b)
+        o_ref[0] = (acc[:] / denom).astype(o_ref.dtype)
+
+
+def _pair_forward(q, k, v, scale, block_q, block_k, interpret):
+    """(B, T, H, 64) -> (B, T, H, 64) via the head-pair packed kernel."""
+    return _run_pair(q, k, v, scale, block_q, block_k, interpret,
+                     with_lse=False)[0]
+
+
+# Upper token bound for the pair-packed dispatch. The kernel itself wins
+# at EVERY measured token count standalone (ratios 0.92-0.97 from 21k to
+# 87k tokens, scripts/bench_head_packing.py), and the 8-view headline
+# gains ~5% whole-model (43.2 -> 44.8-45.8 views/s). At the 64-view
+# scale, however, the in-model effect washes out: same-day A/B of the
+# 64-view bench line reads 13.53-13.69 views/s with the pair path vs
+# 13.88 with the aug kernel — a ~1.5% loss, inside this line's noise but
+# the opposite sign of the standalone +3% (the pack/unpack relayout
+# stops fusing with the surrounding projections at that scale). The
+# bound keeps the proven-win 4-8-view train/inference shapes on the pair
+# path and leaves the many-view regime on the aug kernel, which measured
+# no worse.
+PAIR_MAX_TK = 12288
+
+
+def _use_pair(q, k, interpret) -> bool:
+    """Pair-packed primal: long regime only (the short regime's packed
+    single-pass kernel already avoids transposes there), d exactly 64,
+    even head count, sub-fp32 inputs (the fp32 score matrix at (1024,
+    2048) is ~8 MB; fp32 inputs push the block set past scoped VMEM),
+    token count within the model-level win regime (PAIR_MAX_TK)."""
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    if d != 64 or h % 2 != 0:
+        return False
+    if _pad_to(tk, 512) <= 2048:
+        return False  # short regime: packed single-pass kernel
+    if _pad_to(tk, 512) > PAIR_MAX_TK:
+        return False  # very-long regime: relayout stops fusing in-model
+    if q.dtype.itemsize > 2 and not interpret:
+        return False
+    return True
+
+
+def _pair_stream_kernel_lse(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
+                            acc, l_scr):
+    """Pair kernel emitting the two per-head base-2 log-normalizers in the
+    [0:128] / [128:256] lane halves (residual for the pair backward)."""
+    _pair_stream_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, acc, l_scr)
+    j = pl.program_id(2)
+    num_k = pl.num_programs(2)
+
+    @pl.when(j == num_k - 1)
+    def _lse():
+        l_a = jnp.maximum(l_scr[:, :1], 1e-37)
+        l_b = jnp.maximum(l_scr[:, 128:129], 1e-37)
+        lse_ref[0, :, :128] = jnp.broadcast_to(
+            jnp.log2(l_a), (l_scr.shape[0], 128)
+        )
+        lse_ref[0, :, 128:] = jnp.broadcast_to(
+            jnp.log2(l_b), (l_scr.shape[0], 128)
+        )
+
+
+def _pair_bias(tk: int, tk_pad: int, bk: int) -> jnp.ndarray:
+    """(num_k_blocks, 1, 2*bk) additive bias matching the [S0 | S1] score
+    layout: -SHIFT2 on real columns, -inf on padding."""
+    col = jnp.arange(tk_pad)
+    half = jnp.where(col < tk, -SHIFT2, NEG_INF).astype(jnp.float32)
+    bias = jnp.tile(half.reshape(tk_pad // bk, bk), (1, 2))
+    return bias.reshape(tk_pad // bk, 1, 2 * bk)
+
+
+def _pair_pack(x, t_pad):
+    """(B, T, H, 64) -> (B*H/2, T_pad, 128), head pairs on the lanes."""
+    b, t, h, d = x.shape
+    xt = jnp.swapaxes(x, 1, 2).reshape(b * h // 2, 2, t, d)
+    xt = jnp.concatenate([xt[:, 0], xt[:, 1]], axis=-1)
+    if t != t_pad:
+        xt = jnp.pad(xt, ((0, 0), (0, t_pad - t), (0, 0)))
+    return xt
+
+
+def _pair_unpack(xp, b, h, t, d=64):
+    """(B*H/2, T_pad, 128) -> (B, T, H, 64)."""
+    xp = xp[:, :t]
+    xp = xp.reshape(b, h // 2, t, 2, d).swapaxes(2, 3).reshape(b, h, t, d)
+    return jnp.swapaxes(xp, 1, 2)
+
+
+def _run_pair(q, k, v, scale, block_q, block_k, interpret, with_lse):
+    """Pair-packed forward in residual-producing form: returns (o, res)
+    with res in the PAIR layout — the pair backward kernels consume it
+    directly, so the differentiated path never materializes the 3D
+    (BH, T, D) transposes at all."""
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    bq = min(block_q, _pad_to(tq, 128))
+    bk = min(block_k, _pad_to(tk, 128))
+    tq_pad = _pad_to(tq, bq)
+    tk_pad = _pad_to(tk, bk)
+
+    qp = _pair_pack(_scale_fold(q, scale), tq_pad)
+    kp = _pair_pack(k, tk_pad)
+    vp = _pair_pack(v, tk_pad)
+    bias = _pair_bias(tk, tk_pad, bk)
+    bh2 = b * h // 2
+
+    out_shape = [jax.ShapeDtypeStruct((bh2, tq_pad, 128), q.dtype)]
+    out_specs = [pl.BlockSpec((1, bq, 128), lambda bi, i, j: (bi, i, 0))]
+    if with_lse:
+        out_shape.append(
+            jax.ShapeDtypeStruct((bh2, tq_pad, 256), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec((1, bq, 256), lambda bi, i, j: (bi, i, 0))
+        )
+
+    outs = pl.pallas_call(
+        _pair_stream_kernel_lse if with_lse else _pair_stream_kernel,
+        grid=(bh2, tq_pad // bq, tk_pad // bk),
+        in_specs=[
+            pl.BlockSpec((1, bq, 128), lambda bi, i, j: (bi, i, 0)),
+            pl.BlockSpec((1, bk, 128), lambda bi, i, j: (bi, j, 0)),
+            pl.BlockSpec((1, bk, 128), lambda bi, i, j: (bi, j, 0)),
+            pl.BlockSpec((1, 1, 2 * bk), lambda bi, i, j: (j, 0, 0)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 256), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, bias)
+
+    o = _pair_unpack(outs[0], b, h, tq)
+    if not with_lse:
+        return o, None
+    # Keep one lane per half as the residual: (bh2, tq_pad, 2).
+    lse2 = jnp.stack([outs[1][..., 0], outs[1][..., 128]], axis=-1)
+    res = {"pair": (qp, kp, vp, outs[0], lse2, tk)}
+    return o, res
+
+
+def _pair_cat(x2, bq, bk):
+    """(bq, 256)-style per-half rows -> (bq, 2*bk) [half0 | half1]."""
+    return jnp.concatenate(
+        [
+            jnp.broadcast_to(x2[:, :1], (bq, bk)),
+            jnp.broadcast_to(x2[:, 128:129], (bq, bk)),
+        ],
+        axis=1,
+    )
+
+
+def _pair_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    bias_ref, dq_ref, dq_acc):
+    """dq in pair layout: s and dp contract over the FULL 128 lanes
+    (block-diagonal K/V), dq lands both heads' halves in one matmul."""
+    j = pl.program_id(2)
+    num_k = pl.num_programs(2)
+    bk = k_ref.shape[1]
+    bq = q_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    m0 = (lane < 64).astype(k.dtype)
+    m1 = (lane >= 64).astype(k.dtype)
+    kbd = jnp.concatenate([k * m0, k * m1], axis=0)  # (2bk, 128)
+    vbd = jnp.concatenate([v * m0, v * m1], axis=0)
+
+    s = jax.lax.dot_general(
+        q, kbd, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) + bias_ref[0]
+    p = jnp.exp2(s - _pair_cat(lse_ref[0], bq, bk))
+    dp = jax.lax.dot_general(
+        do, vbd, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, 2bk) = [do0 v0^T | do1 v1^T]
+    ds = p * (dp - _pair_cat(delta_ref[0], bq, bk))
+    dq_acc[:] += jax.lax.dot_general(
+        ds.astype(kbd.dtype), kbd, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bq, 128) = [ds0 k0 | ds1 k1]
+
+    @pl.when(j == num_k - 1)
+    def _finish():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _pair_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                     bias_ref, dk_ref, dv_ref, dk_acc, dv_acc):
+    """dk + dv in pair layout; the (2bk, 128) accumulators' cross-head
+    quadrants are garbage dropped by the final lane select."""
+    i = pl.program_id(2)  # q-block index (sequential)
+    num_q = pl.num_programs(2)
+    bk = k_ref.shape[1]
+    bq = q_ref.shape[1]
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    m0 = (lane < 64).astype(k.dtype)
+    m1 = (lane >= 64).astype(k.dtype)
+    kbd = jnp.concatenate([k * m0, k * m1], axis=0)
+    vbd = jnp.concatenate([v * m0, v * m1], axis=0)
+
+    s = jax.lax.dot_general(
+        q, kbd, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) + bias_ref[0]
+    p = jnp.exp2(s - _pair_cat(lse_ref[0], bq, bk))  # (bq, 2bk)
+
+    # dv: p^T @ do -> (2bk, 128); rows 0..bk lanes<64 = P0^T do0,
+    # rows bk.. lanes>=64 = P1^T do1 (the other quadrants are cross-head
+    # garbage dropped at the end).
+    dv_acc[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, vbd, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - _pair_cat(delta_ref[0], bq, bk))
+    dk_acc[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == num_q - 1)
+    def _finish():
+        lane_o = jax.lax.broadcasted_iota(jnp.int32, (bk, 128), 1)
+        pick0 = lane_o < 64
+        dk_ref[0] = jnp.where(
+            pick0, dk_acc[:bk], dk_acc[bk:]
+        ).astype(dk_ref.dtype)
+        dv_ref[0] = jnp.where(
+            pick0, dv_acc[:bk], dv_acc[bk:]
+        ).astype(dv_ref.dtype)
+
+
+def _pair_core_bwd(interpret, res, g, b, h, tq, scale):
+    """Pair-layout FlashAttention-2 backward consuming _run_pair residuals;
+    returns (dq, dk, dv) in the public (B, T, H, 64) layout."""
+    qp, kp, vp, op, lse2, tk = res
+    bh2, tq_pad, _ = qp.shape
+    tk_pad = kp.shape[1]
+    # Smaller cap than the dense backward: the (bq, 2*bk) score matrix
+    # plus the dp/concat temps double the per-step VMEM.
+    block_q = _bwd_block(tq_pad, 512)
+    block_k = _bwd_block(tk_pad, 512)
+    bias = _pair_bias(tk, tk_pad, block_k)
+
+    gp = _pair_pack(g, tq_pad)
+    gps = (gp.astype(jnp.float32) * LN2).astype(gp.dtype)
+    # per-head delta = sum(do * o) over each 64-lane half -> (bh2, tq, 2),
+    # broadcast into the [0:128]/[128:256] lane halves for the kernels
+    prod = gps.astype(jnp.float32) * op.astype(jnp.float32)
+    delta2 = jnp.stack(
+        [jnp.sum(prod[..., :64], axis=-1), jnp.sum(prod[..., 64:], axis=-1)],
+        axis=-1,
+    )  # (bh2, tq_pad, 2)
+
+    def to_halves(x2):
+        return jnp.concatenate(
+            [
+                jnp.broadcast_to(x2[..., :1], (bh2, tq_pad, 128)),
+                jnp.broadcast_to(x2[..., 1:], (bh2, tq_pad, 128)),
+            ],
+            axis=-1,
+        )
+
+    lse_h = to_halves(lse2)
+    delta_h = to_halves(delta2)
+
+    dq = pl.pallas_call(
+        _pair_dq_kernel,
+        grid=(bh2, tq_pad // block_q, tk_pad // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, 128), lambda bi, i, j: (bi, i, 0)),
+            pl.BlockSpec((1, block_k, 128), lambda bi, i, j: (bi, j, 0)),
+            pl.BlockSpec((1, block_k, 128), lambda bi, i, j: (bi, j, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda bi, i, j: (bi, i, 0)),
+            pl.BlockSpec((1, block_q, 256), lambda bi, i, j: (bi, i, 0)),
+            pl.BlockSpec((1, block_q, 256), lambda bi, i, j: (bi, i, 0)),
+            pl.BlockSpec((1, 1, 2 * block_k), lambda bi, i, j: (j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, 128), lambda bi, i, j: (bi, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh2, tq_pad, 128), qp.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, gps, lse_h, delta_h, bias)
+
+    dk, dv = pl.pallas_call(
+        _pair_dkv_kernel,
+        grid=(bh2, tk_pad // block_k, tq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, 128), lambda bi, j, i: (bi, i, 0)),
+            pl.BlockSpec((1, block_k, 128), lambda bi, j, i: (bi, j, 0)),
+            pl.BlockSpec((1, block_k, 128), lambda bi, j, i: (bi, j, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda bi, j, i: (bi, i, 0)),
+            pl.BlockSpec((1, block_q, 256), lambda bi, j, i: (bi, i, 0)),
+            pl.BlockSpec((1, block_q, 256), lambda bi, j, i: (bi, i, 0)),
+            pl.BlockSpec((1, 1, 2 * block_k), lambda bi, j, i: (j, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, 128), lambda bi, j, i: (bi, j, 0)),
+            pl.BlockSpec((1, block_k, 128), lambda bi, j, i: (bi, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh2, tk_pad, 128), kp.dtype),
+            jax.ShapeDtypeStruct((bh2, tk_pad, 128), vp.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2 * block_k, 128), jnp.float32),
+            pltpu.VMEM((2 * block_k, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, gps, lse_h, delta_h, bias)
+
+    dq4 = _pair_unpack(dq, b, h, tq)
+    dk4 = _pair_unpack(dk, b, h, tk)
+    dv4 = _pair_unpack(dv, b, h, tk)
+    # Adjoint of the scale fold on q; dv unscales the ln2 folded into do.
+    dq4 = dq4 * jnp.asarray(scale * LOG2E, dq4.dtype)
+    dv4 = (dv4.astype(jnp.float32) * (1.0 / LN2)).astype(dv4.dtype)
+    return dq4, dk4, dv4
+
+
+# ---------------------------------------------------------------------------
 # Core kernels dispatch over padded (BH, T, D) arrays; all sizes static
 # ---------------------------------------------------------------------------
 
@@ -852,25 +1254,39 @@ def _run_3d(q, k, v, scale, block_q, block_k, interpret, with_lse):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _flash(q, k, v, scale, block_q, block_k, interpret, tk):
     # Primal (runs when NOT differentiated): packed-heads kernel in the
-    # short regime (no transposes, no lse), lse-free 3D kernels otherwise.
-    if (
-        block_q == DEFAULT_BLOCK_Q
-        and block_k == DEFAULT_BLOCK_K
-        and _use_packed(q, k, interpret)
-    ):
-        return _packed_forward(q, k, v, scale, interpret)
+    # short regime (no transposes, no lse), head-pair packed kernel in
+    # the long d=64 regime, lse-free 3D kernels otherwise.
+    if block_q == DEFAULT_BLOCK_Q and block_k == DEFAULT_BLOCK_K:
+        if _use_packed(q, k, interpret):
+            return _packed_forward(q, k, v, scale, interpret)
+        if _use_pair(q, k, interpret):
+            return _pair_forward(q, k, v, scale, block_q, block_k, interpret)
     return _run_3d(q, k, v, scale, block_q, block_k, interpret,
                    with_lse=False)[0]
 
 
 def _flash_fwd_rule(q, k, v, scale, block_q, block_k, interpret, tk):
+    # Long d=64 even-head regime: the pair-packed fwd + pair-layout
+    # residuals (the differentiated path then never materializes the
+    # (BH, T, D) transposes); everything else: the dense 3D path.
+    if (
+        block_q == DEFAULT_BLOCK_Q
+        and block_k == DEFAULT_BLOCK_K
+        and _use_pair(q, k, interpret)
+    ):
+        o, res = _run_pair(q, k, v, scale, block_q, block_k, interpret,
+                           with_lse=True)
+        return o, res
     o, res = _run_3d(q, k, v, scale, block_q, block_k, interpret,
                      with_lse=True)
-    return o, res
+    return o, {"dense": res}
 
 
 def _flash_bwd_rule(scale, block_q, block_k, interpret, tk, res, g):
     b, tq, h, d = g.shape
+    if "pair" in res:
+        return _pair_core_bwd(interpret, res["pair"], g, b, h, tq, scale)
+    res = res["dense"]
     g3 = _to3(g, res[0].shape[1])
     dq3, dk3, dv3 = _core_bwd(block_q, block_k, interpret, res, g3)
 

@@ -198,6 +198,74 @@ class TestDispatch:
             )
 
 
+class TestPairPacking:
+    """Head-pair packed long-regime primal (round 5): two d=64 heads per
+    grid row with block-diagonal K/V, full 128-lane MXU contraction."""
+
+    def test_use_pair_regimes(self):
+        from mapanything_tpu.ops.flash_attention import _use_pair
+
+        qlong = jnp.zeros((1, 4096, 4, 64), jnp.bfloat16)
+        qshort = jnp.zeros((1, 1370, 4, 64), jnp.bfloat16)
+        qodd = jnp.zeros((1, 4096, 3, 64), jnp.bfloat16)
+        qd32 = jnp.zeros((1, 4096, 4, 32), jnp.bfloat16)
+        qf32 = jnp.zeros((1, 4096, 4, 64), jnp.float32)
+        qhuge = jnp.zeros((1, 87617, 4, 64), jnp.bfloat16)
+        assert _use_pair(qlong, qlong, interpret=False)
+        assert not _use_pair(qshort, qshort, interpret=False)  # short regime
+        assert not _use_pair(qodd, qodd, interpret=False)  # odd heads
+        assert not _use_pair(qd32, qd32, interpret=False)  # d != 64
+        assert not _use_pair(qf32, qf32, interpret=False)  # fp32 VMEM
+        assert _use_pair(qf32, qf32, interpret=True)  # tests cover it
+        # very-long (many-view) regime stays on the aug streaming kernel:
+        # model-level 64-view regression despite the standalone kernel win
+        assert not _use_pair(qhuge, qhuge, interpret=False)
+
+    def test_pair_forward_matches_reference(self):
+        from mapanything_tpu.ops.flash_attention import _pair_forward
+
+        # 4 heads, unpadded-length + padded-length variants
+        for tq in (2100, 2048):
+            q, k, v = make_qkv(tq=tq, tk=tq, h=4, d=64, seed=3)
+            out = _pair_forward(q, k, v, 0.125, 1024, 1024, True)
+            ref = reference_sdpa(q, k, v, 0.125)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=2e-5
+            )
+
+    def test_pair_backward_matches_reference(self):
+        # default dispatch at long-regime d=64 even heads routes fwd+bwd
+        # through the pair kernels; gradients must match XLA per head
+        q, k, v = make_qkv(tq=2100, tk=2100, h=4, d=64, seed=5)
+        scale = 0.125
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, scale, interpret=True) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(reference_sdpa(q, k, v, scale) ** 2)
+
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(g_flash, g_ref, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-3, err_msg=f"d{name}"
+            )
+
+    def test_pair_head_content_not_mixed(self):
+        # distinct per-head content must stay per-head through the packing
+        from mapanything_tpu.ops.flash_attention import _pair_forward
+
+        q, k, v = make_qkv(tq=2100, tk=2100, h=2, d=64, seed=4)
+        # make head 1's v wildly different
+        v = v.at[:, :, 1, :].set(v[:, :, 1, :] * 100.0 + 5.0)
+        out = _pair_forward(q, k, v, 0.125, 1024, 1024, True)
+        ref = reference_sdpa(q, k, v, 0.125)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-3
+        )
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
 
