@@ -200,13 +200,28 @@ class TestConfig3Rehearsal:
             cam_from_world_trans=jnp.asarray(trans_noise, jnp.float32),
         )
 
-        state, costs = ba_solve(perturbed, 10, 25)
+        # Route the rehearsal through the DISTRIBUTED solve (the "BA
+        # reductions over ICI" path, VERDICT r4 item 3): observations
+        # sharded over the 8-device mesh, camera-system psums over the
+        # mesh axis.
+        from jax.sharding import Mesh
+
+        from mapanything_tpu.ba.solver import ba_solve_sharded
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("ba_tracks",))
+        state, costs = ba_solve_sharded(perturbed, mesh, 10, 25)
         rms_before = float(np.sqrt(costs[0] / max(n_obs, 1)))
         rms_after = float(np.sqrt(costs[-1] / max(n_obs, 1)))
         assert rms_after < rms_before * 0.5, (
             f"BA did not improve reprojection: {rms_before:.3f} -> "
             f"{rms_after:.3f} px"
         )
+        # single-device solve agrees with the sharded one on this problem
+        state_1d, costs_1d = ba_solve(perturbed, 10, 25)
+        np.testing.assert_allclose(
+            np.asarray(costs), np.asarray(costs_1d), rtol=0.1, atol=1e-3
+        )
+        del state_1d
 
         # Refined relative rotations must move back toward the unperturbed
         # feed-forward estimates (gauge-free comparison).

@@ -177,6 +177,33 @@ def test_fine_refine_parity(ref_and_ours):
     )
 
 
+def test_predict_tracks_learned_route(ref_and_ours):
+    """ba.tracker.predict_tracks(tracker_params=...) must route through
+    the learned network and return the classical contract: (S, N, 2)
+    tracks with exact query-frame observations, (S, N) vis/scores."""
+    from mapanything_tpu.ba.tracker import predict_tracks
+
+    _, params = ref_and_ours
+    rng = np.random.RandomState(7)
+    import scipy.ndimage as ndi
+
+    # textured frames so the Harris seeding finds real corners
+    tex = ndi.gaussian_filter(rng.rand(3, 128, 128).astype(np.float32), 1.5)
+    images = np.repeat(tex[..., None], 3, -1)
+
+    tracks, vis, scores = predict_tracks(
+        jnp.asarray(images), max_query_pts=16, query_frame_num=1,
+        vis_thresh=0.5, tracker_params=params,
+    )
+    S, N, _ = tracks.shape
+    assert S == 3 and N >= 4
+    assert vis.shape == (S, N) and scores.shape == (S, N)
+    assert np.isfinite(tracks).all()
+    # the query frame's observations score 1.0 and are visible
+    q = int(np.argmax(scores.sum(1)))
+    assert (scores[q] == 1.0).all() and vis[q].all()
+
+
 def test_full_pipeline_runs(ref_and_ours):
     _, params = ref_and_ours
     images, query = _inputs(seed=2)
