@@ -57,6 +57,117 @@ def pair_packed_attention(q, k, v, scale, block_q=1024, block_k=1024):
     return _pair_forward(q, k, v, scale, block_q, block_k, False)
 
 # ---------------------------------------------------------------------------
+# Short-regime pair probe: single-K-pass kernel with head-PAIR channel
+# windows (the production packed kernel loops heads in 64-lane slices of a
+# wider window; this variant computes one PAIR per inner step with
+# block-diagonal K/V — half the matmul calls at double width). Native
+# (B, T, C) layout, no transposes, no bias (full-T K blocks, constant
+# shift cancels) — only worth integrating if it beats the packed kernel
+# at the encoder/frame shapes.
+# ---------------------------------------------------------------------------
+
+import functools
+
+import jax.numpy as _jnp  # noqa: F401  (kernel-local alias clarity)
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mapanything_tpu.ops.flash_attention import (  # noqa: E402
+    LOG2E,
+    _pad_to,
+    _use_packed,
+    flash_attention,
+)
+
+
+def _short_pair_kernel(q_ref, k_ref, v_ref, o_ref):
+    q = q_ref[0]  # (bq, 128) = [q0 | q1], pre-scaled
+    k = k_ref[0]  # (tk, 128)
+    v = v_ref[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    m0 = (lane < 64).astype(k.dtype)
+    m1 = (lane >= 64).astype(k.dtype)
+    kbd = jnp.concatenate([k * m0, k * m1], axis=0)  # (2tk, 128)
+    vbd = jnp.concatenate([v * m0, v * m1], axis=0)
+    tk = k.shape[0]
+
+    s = jax.lax.dot_general(
+        q, kbd, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, 2tk)
+    p = jnp.exp2(s)
+    l0 = jnp.maximum(jnp.sum(p[:, :tk], axis=1, keepdims=True), 1e-37)
+    l1 = jnp.maximum(jnp.sum(p[:, tk:], axis=1, keepdims=True), 1e-37)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), vbd, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bq, 128)
+    lane_o = jax.lax.broadcasted_iota(jnp.int32, pv.shape, 1)
+    o_ref[0] = (pv / jnp.where(lane_o < 64, l0, l1)).astype(o_ref.dtype)
+
+
+def short_pair_attention(q, k, v, scale, block_q=None):
+    """(B, T, H, 64) short-regime attention, one head pair per grid row."""
+    b, tq, h, d = q.shape
+    assert d == 64 and h % 2 == 0
+    tk = k.shape[1]
+    c = h * d
+    # the (bq, 2*tk) fp32 score matrix bounds bq: 512 x 2740 = 5.6 MB
+    # (+ bf16 cast) fits scoped VMEM where the full-tq 1408 block OOMs
+    bq = block_q or 512
+    tq_pad = _pad_to(tq, bq)
+
+    qc = (q * jnp.asarray(scale * LOG2E, q.dtype)).reshape(b, tq, c)
+    if tq_pad != tq:
+        qc = jnp.pad(qc, ((0, 0), (0, tq_pad - tq), (0, 0)))
+    kc = k.reshape(b, tk, c)
+    vc = v.reshape(b, tk, c)
+
+    o = pl.pallas_call(
+        _short_pair_kernel,
+        grid=(b, h // 2, tq_pad // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, 128), lambda bi, hi, i: (bi, i, hi)),
+            pl.BlockSpec((1, tk, 128), lambda bi, hi, i: (bi, 0, hi)),
+            pl.BlockSpec((1, tk, 128), lambda bi, hi, i: (bi, 0, hi)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, 128), lambda bi, hi, i: (bi, i, hi)),
+        out_shape=jax.ShapeDtypeStruct((b, tq_pad, c), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+    )(qc, kc, vc)
+    return o[:, :tq].reshape(b, tq, h, d)
+
+
+def run_short_probe(layers=8):
+    rng = np.random.RandomState(0)
+    for label, (b, t, h) in (
+        ("encoder 8x1370 h16", (8, 1370, 16)),
+        ("frame   8x1369 h12", (8, 1369, 12)),
+    ):
+        q = jnp.asarray(rng.randn(b, t, h, 64), jnp.bfloat16)
+        k = jnp.asarray(rng.randn(b, t, h, 64), jnp.bfloat16)
+        v = jnp.asarray(rng.randn(b, t, h, 64), jnp.bfloat16)
+        scale = 64**-0.5
+        assert _use_packed(q, k, False), "expected the packed short regime"
+        o_ref = flash_attention(q, k, v, scale=scale)
+        o_pair = short_pair_attention(q, k, v, scale)
+        err = float(jnp.max(jnp.abs(
+            o_ref.astype(jnp.float32) - o_pair.astype(jnp.float32))))
+        t_prod = _time_scan(
+            lambda q_, k_, v_: flash_attention(q_, k_, v_, scale=scale),
+            (q, k, v), layers)
+        t_pair = _time_scan(
+            lambda q_, k_, v_: short_pair_attention(q_, k_, v_, scale),
+            (q, k, v), layers)
+        flops = 4 * b * t * t * 64 * h
+        print(f"[short {label}] err {err:.1e}  packed "
+              f"{t_prod*1e3:6.2f} ms ({flops/t_prod/1e12:.0f} TF/s)  pair "
+              f"{t_pair*1e3:6.2f} ms ({flops/t_pair/1e12:.0f} TF/s)  "
+              f"ratio {t_pair/t_prod:.3f}", flush=True)
+
+
+# ---------------------------------------------------------------------------
 # Measurement harness (multi-layer scan + checksum; PERFORMANCE.md rules)
 # ---------------------------------------------------------------------------
 
@@ -90,7 +201,12 @@ def main():
     ap.add_argument("--heads", type=int, default=12)
     ap.add_argument("--layers", type=int, default=12)
     ap.add_argument("--sweep", action="store_true")
+    ap.add_argument("--short", action="store_true")
     args = ap.parse_args()
+
+    if args.short:
+        run_short_probe()
+        return
 
     T, H, D = args.tokens, args.heads, 64
     rng = np.random.RandomState(0)
